@@ -118,7 +118,12 @@ def generate_records(seed: int, n_business: int) -> dict[str, list[dict]]:
 
     businesses = []
     for i in range(n_business):
-        city, state_code, _sn, lat, lon = _zipf_choice(rng, CITIES)
+        # first |CITIES| businesses cover every city so every linking path is
+        # exercised at any scale; the rest are Zipf-skewed (head ≈ Philadelphia)
+        if i < len(CITIES):
+            city, state_code, _sn, lat, lon = CITIES[i]
+        else:
+            city, state_code, _sn, lat, lon = _zipf_choice(rng, CITIES)
         city_val = city
         if rng.random() < 0.02:  # comma-suffixed city → partition(",") path
             city_val = f"{city}, {state_code}"
