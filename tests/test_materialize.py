@@ -1,0 +1,96 @@
+"""Materialization: checkpoint-resume with lineage manifest, NT export."""
+
+import gzip
+import os
+
+import pytest
+
+from yckg_spark.materialize import (
+    completed_buckets,
+    export_nt_gz,
+    nt_line,
+    read_manifest,
+    read_triples,
+    run_resumable,
+)
+from yckg_spark.operators.canonicalize import dedup_triples
+from yckg_spark.operators.emit import emit_all
+from yckg_spark.sources.web_pages import parse_records, read_web_pages
+
+
+@pytest.fixture()
+def pages(spark, smoke_fixture_dir):
+    return read_web_pages(spark, f"{smoke_fixture_dir}/web_pages.parquet")
+
+
+CMP_COLS = ["subject", "predicate", "object", "is_literal", "datatype"]
+
+
+def _full_set(spark, pages):
+    t, _ = emit_all(parse_records(pages, use_extraction=False))
+    return {tuple(r) for r in dedup_triples(t).select(*CMP_COLS).collect()}
+
+
+def test_resume_after_kill_no_dupes_no_missing(spark, pages, tmp_path):
+    out = str(tmp_path / "kg")
+    # run 1: crash after 3 bucket commits
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, pages, out, n_buckets=8, use_extraction=False, fail_after=3)
+    assert len(completed_buckets(spark, out)) == 3
+    # run 2: resume — only the remaining 5 buckets are processed
+    result = run_resumable(spark, pages, out, n_buckets=8, use_extraction=False)
+    assert result["buckets_committed"] == 5
+    got = {
+        tuple(r)
+        for r in dedup_triples(read_triples(spark, out)).select(*CMP_COLS).collect()
+    }
+    assert got == _full_set(spark, pages)
+
+
+def test_manifest_metrics(spark, pages, tmp_path):
+    out = str(tmp_path / "kg2")
+    run_resumable(spark, pages, out, n_buckets=4, use_extraction=False)
+    m = read_manifest(spark, out)
+    rows = m.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_triples"] > 0
+        assert r["triples_per_sec"] > 0
+        assert r["commit_id"].startswith(f"b{r['bucket']}-")
+
+
+def test_nt_export_roundtrip(spark, pages, tmp_path):
+    t, _ = emit_all(parse_records(pages, use_extraction=False))
+    t = dedup_triples(t)
+    lines = [r["value"] for r in nt_line(t).collect()]
+    for ln in lines:
+        assert ln.startswith("<") and ln.endswith(" .")
+    # literal with datatype renders as "..."^^<...>
+    assert any('"^^<http://www.w3.org/2001/XMLSchema#dateTime>' in ln for ln in lines)
+    # export writes gzip text files
+    out = str(tmp_path / "nt")
+    export_nt_gz(t.limit(100), out)
+    gz = [f for f in os.listdir(out) if f.endswith(".txt.gz")]
+    assert gz
+    with gzip.open(os.path.join(out, gz[0]), "rt") as fh:
+        first = fh.readline().strip()
+    assert first.endswith(" .")
+
+
+def test_salted_agg_matches_plain(spark, pages):
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.canonicalize import salted_agg, salted_distinct_values
+
+    t, _ = emit_all(parse_records(pages, use_extraction=False))
+    plain = {
+        (r["predicate"], r["n"])
+        for r in t.groupBy("predicate").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r["predicate"], r["n"])
+        for r in salted_agg(t, ["predicate"], {"n": "count"}).collect()
+    }
+    assert plain == salted
+    dv = {r["predicate"] for r in salted_distinct_values(t, "predicate").collect()}
+    assert dv == {p for p, _ in plain}

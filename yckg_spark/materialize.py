@@ -1,0 +1,149 @@
+"""Materialization: partitioned triple store, lineage manifest,
+checkpoint-resume, metrics, and N-Triples export.
+
+Production sink is a partitioned Iceberg table (atomic snapshot commits);
+this sandbox has no Iceberg runtime jar, so the store is directory-partitioned
+parquet with the same commit discipline: one *bucket* of input pages is
+processed per commit, the triples land under ``triples/bucket=K/`` in a
+single atomic job, and the lineage manifest row (with per-commit metrics) is
+written only after the data job succeeds — so a crash between the two at
+worst re-processes one bucket into an overwritten partition dir (idempotent),
+never duplicates it. Restart anti-joins the manifest (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics"; the
+reference just re-appends and risks duplicates — create_yelp_nt_files.py:31
+'at' mode).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yckg_spark.operators.canonicalize import dedup_triples
+from yckg_spark.operators.emit import emit_all
+from yckg_spark.sources.web_pages import parse_records
+
+N_BUCKETS_DEFAULT = 8
+
+
+def bucket_of(url_col):
+    return F.pmod(F.hash(url_col), F.lit(N_BUCKETS_DEFAULT))
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    p = _manifest_path(out_dir)
+    if not os.path.exists(p) or not any(f.endswith(".json") for f in os.listdir(p)):
+        return None
+    rows = []
+    for f in sorted(os.listdir(p)):
+        if f.endswith(".json"):
+            with open(os.path.join(p, f)) as fh:
+                rows.append(json.load(fh))
+    return spark.createDataFrame(rows) if rows else None
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    m = read_manifest(spark, out_dir)
+    if m is None:
+        return set()
+    return {r["bucket"] for r in m.select("bucket").collect()}
+
+
+def run_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    use_extraction: bool = True,
+    fail_after: int | None = None,
+) -> dict:
+    """Build the KG bucket-by-bucket with commit-level lineage.
+
+    ``fail_after`` aborts after that many bucket commits (test hook for the
+    kill-and-resume scenario). Returns the run metrics dict.
+    """
+    os.makedirs(_manifest_path(out_dir), exist_ok=True)
+    done = completed_buckets(spark, out_dir)
+    bucketed = pages.withColumn("__bucket", F.pmod(F.hash("url"), F.lit(n_buckets)))
+    commits = 0
+    metrics_all: list[dict] = []
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        subset = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
+        records = parse_records(subset, use_extraction=use_extraction)
+        triples, errors = emit_all(records)
+        triples = dedup_triples(triples)
+
+        t0 = time.time()
+        tdir = os.path.join(out_dir, "triples", f"bucket={b}")
+        edir = os.path.join(out_dir, "errors", f"bucket={b}")
+        triples.write.mode("overwrite").parquet(tdir)  # idempotent re-commit
+        errors.write.mode("overwrite").parquet(edir)
+        n_triples = spark.read.parquet(tdir).count()
+        n_errors = spark.read.parquet(edir).count()
+        n_pages = subset.count()
+        elapsed = time.time() - t0
+
+        commit = {
+            "bucket": b,
+            "n_pages": n_pages,
+            "n_triples": n_triples,
+            "n_errors": n_errors,
+            "seconds": round(elapsed, 3),
+            "triples_per_sec": round(n_triples / elapsed, 1) if elapsed else None,
+            "commit_id": f"b{b}-{n_pages}-{n_triples}",
+        }
+        # manifest row written only after the data commit succeeded
+        with open(os.path.join(_manifest_path(out_dir), f"bucket-{b}.json"), "w") as fh:
+            json.dump(commit, fh)
+        metrics_all.append(commit)
+        commits += 1
+        if fail_after is not None and commits >= fail_after:
+            raise RuntimeError(f"injected failure after {commits} commits")
+    return {
+        "buckets_committed": commits,
+        "total_triples": sum(m["n_triples"] for m in metrics_all),
+        "commits": metrics_all,
+    }
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "triples"))
+
+
+# ---------------------------------------------------------------------------
+# N-Triples export (K1) — the reference's one output format
+# ---------------------------------------------------------------------------
+
+
+def nt_line(triples: DataFrame) -> DataFrame:
+    """Format each triple as canonical N-Triples, entirely JVM-side."""
+    esc = F.col("object")
+    for raw, rep in [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(rep))
+    literal = F.when(
+        F.col("datatype").isNotNull(),
+        F.concat(F.lit('"'), esc, F.lit('"^^<'), F.col("datatype"), F.lit(">")),
+    ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    obj = F.when(F.col("is_literal"), literal).otherwise(
+        F.concat(F.lit("<"), F.col("object"), F.lit(">"))
+    )
+    return triples.select(
+        F.concat(
+            F.lit("<"), F.col("subject"), F.lit("> <"), F.col("predicate"), F.lit("> "),
+            obj, F.lit(" ."),
+        ).alias("value")
+    )
+
+
+def export_nt_gz(triples: DataFrame, path: str) -> None:
+    nt_line(triples).write.mode("overwrite").option("compression", "gzip").text(path)
