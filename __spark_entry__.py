@@ -1,38 +1,675 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: synthesizes Common-Crawl-style web pages from
+the sf0.001 tables, runs the full KG pipeline (Arrow extraction UDF → typed
+parsing → triple emission → canonicalization) and returns the triples.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 plus the training-data ops, each checked against DuckDB.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+ENT = "https://purl.archive.org/purl/yckg/entities#"
+VOC = "https://purl.archive.org/purl/yckg/vocabulary#"
+CAT = "https://purl.archive.org/purl/yckg/categories#"
+SCH = "https://schema.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+_HTML_PRE = (
+    '<html><head><title>biz</title><script src="/app.js"></script></head>'
+    '<body><nav>Home | Browse</nav><div class="ad">OFFER</div>'
+    '<script type="application/ld+json">'
+)
+_HTML_POST = "</script><footer>&copy; example.org</footer></body></html>"
+
+
+def _synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation → Yelp-shaped business pages (url, warc_ts, html,
+    text, lang) — a deterministic Common-Crawl stand-in built from the
+    driver's tables, so the full extraction path runs on driver data."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rec = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("business_id"),
+                F.col("c_name").alias("name"),
+                F.col("n_name").alias("city"),
+                F.lit("PA").alias("state"),
+                F.round(F.col("c_acctbal"), 2).alias("stars"),
+                F.col("c_custkey").cast("long").alias("review_count"),
+                F.col("c_mktsegment").alias("categories"),
+            )
+        ).alias("payload"),
+        F.col("c_custkey"),
+    )
+    return rec.select(
+        F.concat(F.lit("https://example.org/biz/"), F.col("c_custkey").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2021-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.concat(F.lit(_HTML_PRE), F.col("payload"), F.lit(_HTML_POST)), "UTF-8").alias("html"),
+        F.col("payload").alias("text"),
+        F.lit("en").alias("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from yckg_spark.operators.canonicalize import dedup_triples
+    from yckg_spark.operators.emit import emit_all
+    from yckg_spark.sources.web_pages import parse_records
+
+    pages = _synthesize_pages(spark, "/root/testdata/sf0.001")
+    records = parse_records(pages, use_extraction=True)
+    triples, _errors = emit_all(records)
+    return dedup_triples(triples)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_kg_triples_customer(spark, sf_dir):
+    """S1+§2.10: typed triple emission from a fixed-schema table (array-
+    explode, one data pass) — the engine's core emission shape."""
+    c = _t(spark, sf_dir, "customer")
+    subj = F.concat(F.lit(ENT + "customer_id/"), F.col("c_custkey").cast("string"))
+    entries = F.array(
+        F.struct(F.lit(RDF_TYPE).alias("predicate"), F.lit(SCH + "Person").alias("object")),
+        F.struct(F.lit(SCH + "legalName").alias("predicate"), F.col("c_name").alias("object")),
+        F.struct(F.lit(VOC + "mktsegment").alias("predicate"), F.col("c_mktsegment").alias("object")),
+        F.struct(
+            F.lit(VOC + "acctbal").alias("predicate"),
+            F.format_string("%.2f", F.col("c_acctbal")).alias("object"),
+        ),
+        F.struct(
+            F.lit(VOC + "nationkey").alias("predicate"),
+            F.col("c_nationkey").cast("string").alias("object"),
+        ),
+    )
+    return c.select(subj.alias("subject"), F.explode(entries).alias("t")).select(
+        "subject", F.col("t.predicate").alias("predicate"), F.col("t.object").alias("object")
+    )
+
+
+_ORACLE_TRIPLES_CUSTOMER = f"""
+WITH s AS (SELECT '{ENT}customer_id/' || CAST(c_custkey AS VARCHAR) AS subject, * FROM customer)
+SELECT subject, '{RDF_TYPE}' AS predicate, '{SCH}Person' AS object FROM s
+UNION ALL SELECT subject, '{SCH}legalName', c_name FROM s
+UNION ALL SELECT subject, '{VOC}mktsegment', c_mktsegment FROM s
+UNION ALL SELECT subject, '{VOC}acctbal', printf('%.2f', c_acctbal) FROM s
+UNION ALL SELECT subject, '{VOC}nationkey', CAST(c_nationkey AS VARCHAR) FROM s
+"""
+
+
+def q_kg_skolem_events(spark, sf_dir):
+    """Deterministic skolem IRIs (replaces rdflib BNode): content-hash of
+    (user_id, event_type); grouped to prove stability."""
+    e = _t(spark, sf_dir, "events")
+    bnode = F.concat(
+        F.lit(ENT + "bnode/"),
+        F.sha2(F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")), 256),
+    )
+    return e.select(bnode.alias("subject")).groupBy("subject").agg(F.count(F.lit(1)).alias("n"))
+
+
+_ORACLE_SKOLEM = f"""
+SELECT '{ENT}bnode/' || sha256(CAST(user_id AS VARCHAR) || ':' || event_type) AS subject,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_kg_counter_agg(spark, sf_dir):
+    """A2 — the checkin Counter: explode-free per-(entity, day) counting."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_ORACLE_COUNTER = """
+SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1, 2
+"""
+
+
+def q_kg_sanitize_dedup(spark, sf_dir):
+    """F1+A8/A9 — IRI sanitize chain + global category dedup."""
+    p = _t(spark, sf_dir, "part")
+    cat = F.translate(F.col("p_type"), " &/'-()", "_______")
+    return (
+        p.select(F.concat(F.lit(CAT), cat).alias("subject")).distinct()
+        .select("subject", F.lit(VOC + "YelpCategory").alias("object"))
+    )
+
+
+_ORACLE_SANITIZE = f"""
+SELECT DISTINCT '{CAT}' || translate(p_type, ' &/''-()', '_______') AS subject,
+       '{VOC}YelpCategory' AS object
+FROM part
+"""
+
+
+def q_kg_hierarchy_closure(spark, sf_dir):
+    """G1 — iterative self-join closure to fixpoint (supplier→nation→region
+    edge set; edges reachable from the supplier frontier)."""
+    from yckg_spark.operators.enrich_schema import reachable_edges_fixpoint
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    e1 = s.select(
+        F.concat(F.lit("sup:"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("nat:"), F.col("s_nationkey").cast("string")).alias("dst"),
+    ).distinct()
+    e2 = n.select(
+        F.concat(F.lit("nat:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("reg:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = e1.unionByName(e2)
+    sources = s.select(F.concat(F.lit("sup:"), F.col("s_suppkey").cast("string")).alias("node"))
+    return reachable_edges_fixpoint(edges, sources).distinct()
+
+
+_ORACLE_CLOSURE = """
+SELECT DISTINCT 'sup:' || CAST(s_suppkey AS VARCHAR) AS src,
+                'nat:' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+UNION
+SELECT DISTINCT 'nat:' || CAST(n_nationkey AS VARCHAR),
+                'reg:' || CAST(n_regionkey AS VARCHAR)
+FROM nation WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+"""
+
+
+def q_window_top1_per_group(spark, sf_dir):
+    """J5/J6 — top-1-per-group via window (the reference's argmax / ORDER BY
+    LIMIT 1 patterns)."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_nationkey", "s_suppkey", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+_ORACLE_TOP1 = """
+SELECT s_nationkey, s_suppkey, ROUND(s_acctbal, 2) AS acctbal
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal DESC, s_suppkey) rn
+      FROM supplier) WHERE rn = 1
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """E4 — FILTER NOT EXISTS as left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+_ORACLE_ANTI = "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+
+
+def q_union_distinct(spark, sf_dir):
+    """E3 — UNION of query branches with dedup."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+_ORACLE_UNION = "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier"
+
+
+def q_explode_tokens(spark, sf_dir):
+    """E1 — explode list column (split) + count."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.select("doc_id", F.explode(F.split(norm, " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_ORACLE_EXPLODE = """
+SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token,
+       1 AS one
+FROM documents
+"""
+# note: the oracle needs the same grouped shape — see _ORACLE_EXPLODE_GROUPED
+_ORACLE_EXPLODE_GROUPED = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents)
+SELECT doc_id, token, COUNT(*) AS n FROM toks GROUP BY 1, 2
+"""
+
+
+def q_first_by_rank(spark, sf_dir):
+    """J7 — keep-first-by-explicit-rank (the reference's first-common-qid
+    preserves API result order; here: earliest order per customer)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+_ORACLE_FIRST = """
+SELECT o_custkey, o_orderkey
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) rn FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_count_distinct(spark, sf_dir):
+    """A4 — COUNT(DISTINCT) (CQ1/CQ4/CQ10 shape)."""
+    p = _t(spark, sf_dir, "part")
+    return p.agg(F.countDistinct("p_brand").alias("n_brands"))
+
+
+_ORACLE_CD = "SELECT COUNT(DISTINCT p_brand) AS n_brands FROM part"
+
+
+def q_having_gt(spark, sf_dir):
+    """A5 — grouped count + HAVING > k (CQ11 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+_ORACLE_HAVING = "SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1 HAVING COUNT(*) > 10"
+
+
+def q_exactly_k(spark, sf_dir):
+    """A5 — HAVING = k, counted (CQ13 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") == 5)
+    return per.agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_ORACLE_EXACTK = """
+SELECT COUNT(*) AS n_customers
+FROM (SELECT o_custkey FROM orders GROUP BY 1 HAVING COUNT(*) = 5)
+"""
+
+
+def q_avg_by_group(spark, sf_dir):
+    """A6 — AVG per group (CQ6 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ORACLE_AVG = """
+SELECT o_orderpriority, ROUND(AVG(o_totalprice), 4) AS avg_price, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_topk_day(spark, sf_dir):
+    """A7/T2 — group-sum + ORDER BY DESC LIMIT 1 (CQ8/CQ9 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "day")
+        .limit(1)
+    )
+
+
+_ORACLE_TOPK = """
+SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY n DESC, day LIMIT 1
+"""
+
+
+def q_month_agg(spark, sf_dir):
+    """F13/CQ14 — year/month extraction + grouped count."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_ORACLE_MONTH = "SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, COUNT(*) AS n FROM orders GROUP BY 1, 2"
+
+
+def q_scalar_ratio(spark, sf_dir):
+    """A6/CQ12 — ratio of two scalar counts."""
+    li = _t(spark, sf_dir, "lineitem").count()
+    o = _t(spark, sf_dir, "orders").count()
+    spark_df = _t(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        [(round(li / o, 6),)], "avg_items double"
+    )
+    return spark_df
+
+
+_ORACLE_RATIO = """
+SELECT ROUND(CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+           / (SELECT COUNT(*) FROM orders), 6) AS avg_items
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped wide aggregate (map-side partial aggregation;
+    the canonical 100 TB scan+agg)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY 1, 2
+"""
+
+
+# --- training-data ops ------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from yckg_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    from yckg_spark.operators.text_analysis import punct_ratio, stopword_ratio, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(c, "en"), 4).alias("stopword_ratio_en"),
+    )
+
+
+def _oracle_text_quality():
+    from yckg_spark.operators.text_analysis import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH n AS (SELECT doc_id, text,
+                  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+           FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       ROUND(CASE WHEN length(text) > 0
+             THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                  / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+       ROUND(CAST(len(list_filter(toks, x -> list_contains([{sw}], x))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS stopword_ratio_en
+FROM n
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    from yckg_spark.operators.text_analysis import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe_ish_token_count(F.col("text"))).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+_ORACLE_TOKENS = """
+SELECT source,
+       CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
+FROM documents GROUP BY 1
+"""
+
+
+def q_lang_scores(spark, sf_dir):
+    from yckg_spark.operators.text_analysis import stopword_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio(c, "en"), 4).alias("score_en"),
+        F.round(stopword_ratio(c, "de"), 4).alias("score_de"),
+        F.round(stopword_ratio(c, "fr"), 4).alias("score_fr"),
+        F.round(stopword_ratio(c, "es"), 4).alias("score_es"),
+    )
+
+
+def _oracle_lang_scores():
+    from yckg_spark.operators.text_analysis import STOPWORDS
+
+    def expr(lang):
+        sw = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            f"ROUND(CAST(len(list_filter(toks, x -> list_contains([{sw}], x))) AS DOUBLE)"
+            f" / greatest(len(toks), 1), 4) AS score_{lang}"
+        )
+
+    return f"""
+WITH n AS (SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+           FROM documents)
+SELECT doc_id, {expr('en')}, {expr('de')}, {expr('fr')}, {expr('es')} FROM n
+"""
+
+
+def q_fingerprint_md5(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("md5_fp"))
+
+
+_ORACLE_FP = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS md5_fp FROM documents
+"""
+
+
+def q_embed_topk(spark, sf_dir):
+    """Brute-force cosine top-k (correctness baseline for ANN)."""
+    from yckg_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(e, e.filter(F.col("vec_id") < 20), k=3)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+_ORACLE_TOPK_EMB = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+     c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+     s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                  list_cosine_similarity(qv, cv) AS cos
+           FROM q CROSS JOIN c WHERE qid != nid),
+     r AS (SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3
+"""
+
+
+# --- rows-only queries (non-SQL-expressible; weaker driver check) -----------
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from yckg_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    from yckg_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from yckg_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(d, threshold=0.2)
+
+
+def q_lsh_topk(spark, sf_dir):
+    from yckg_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    return lsh_topk(e, dim=dim, k=3, n_planes=6)
+
+
+def q_lang_id_pred(spark, sf_dir):
+    from yckg_spark.operators.text_analysis import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred", "lang_score")
+
+
+def q_quality_score(spark, sf_dir):
+    from yckg_spark.operators.text_analysis import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Opaque-binary decode plumbing (deterministic fake features) over a
+    media table synthesized from documents bytes."""
+    from yckg_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/fake").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(media, fake=True)
+
+
+def q_kg_build(spark, sf_dir):
+    """Full KG pipeline over pages synthesized from this sf_dir."""
+    from yckg_spark.operators.canonicalize import dedup_triples
+    from yckg_spark.operators.emit import emit_all
+    from yckg_spark.sources.web_pages import parse_records
+
+    pages = _synthesize_pages(spark, sf_dir)
+    triples, _ = emit_all(parse_records(pages, use_extraction=True))
+    return dedup_triples(triples)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_triples_customer": q_kg_triples_customer,
+        "kg_skolem_events": q_kg_skolem_events,
+        "kg_counter_agg": q_kg_counter_agg,
+        "kg_sanitize_dedup": q_kg_sanitize_dedup,
+        "kg_hierarchy_closure": q_kg_hierarchy_closure,
+        "window_top1_per_group": q_window_top1_per_group,
+        "anti_join": q_anti_join,
+        "union_distinct": q_union_distinct,
+        "explode_tokens": q_explode_tokens,
+        "first_by_rank": q_first_by_rank,
+        "count_distinct": q_count_distinct,
+        "having_gt": q_having_gt,
+        "exactly_k": q_exactly_k,
+        "avg_by_group": q_avg_by_group,
+        "topk_day": q_topk_day,
+        "month_agg": q_month_agg,
+        "scalar_ratio": q_scalar_ratio,
+        "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "lang_scores": q_lang_scores,
+        "fingerprint_md5": q_fingerprint_md5,
+        "embed_topk": q_embed_topk,
+        # rows-only (non-SQL-expressible)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_topk": q_lsh_topk,
+        "lang_id_pred": q_lang_id_pred,
+        "quality_score": q_quality_score,
+        "multimodal_features": q_multimodal_features,
+        "kg_build": q_kg_build,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_triples_customer": _ORACLE_TRIPLES_CUSTOMER,
+        "kg_skolem_events": _ORACLE_SKOLEM,
+        "kg_counter_agg": _ORACLE_COUNTER,
+        "kg_sanitize_dedup": _ORACLE_SANITIZE,
+        "kg_hierarchy_closure": _ORACLE_CLOSURE,
+        "window_top1_per_group": _ORACLE_TOP1,
+        "anti_join": _ORACLE_ANTI,
+        "union_distinct": _ORACLE_UNION,
+        "explode_tokens": _ORACLE_EXPLODE_GROUPED,
+        "first_by_rank": _ORACLE_FIRST,
+        "count_distinct": _ORACLE_CD,
+        "having_gt": _ORACLE_HAVING,
+        "exactly_k": _ORACLE_EXACTK,
+        "avg_by_group": _ORACLE_AVG,
+        "topk_day": _ORACLE_TOPK,
+        "month_agg": _ORACLE_MONTH,
+        "scalar_ratio": _ORACLE_RATIO,
+        "pricing_summary": _ORACLE_PRICING,
+        "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "text_quality": _oracle_text_quality(),
+        "token_counts": _ORACLE_TOKENS,
+        "lang_scores": _oracle_lang_scores(),
+        "fingerprint_md5": _ORACLE_FP,
+        "embed_topk": _ORACLE_TOPK_EMB,
+    }

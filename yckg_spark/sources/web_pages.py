@@ -40,12 +40,20 @@ def parse_records(
     *,
     lang: str = "en",
     use_extraction: bool = True,
+    cache: bool = True,
 ) -> dict[str, DataFrame]:
     """pages → {domain: typed record DataFrame (+ url, warc_ts)}.
 
     ``use_extraction=True`` runs the HTML→text pandas UDF; with False the
     pre-extracted ``text`` column is trusted (both paths are byte-identical
     on well-formed corpora — asserted by tests/test_extract.py).
+
+    ``cache=True`` persists the post-extraction classified frame: the triple
+    emission downstream is a union of ~12 projection branches over these
+    records, and without a stage cut each branch would re-run the extraction
+    UDF. At cluster scale the same role is played by materializing the
+    extracted records to a table between the two stages; MEMORY_AND_DISK is
+    the local[32] equivalent.
     """
     pages = pages.filter(F.col("lang") == lang)
     if use_extraction:
@@ -61,6 +69,10 @@ def parse_records(
         text_col.alias("record_text"),
         classify_domain(text_col).alias("domain"),
     )
+    if cache:
+        from pyspark import StorageLevel
+
+        classified = classified.persist(StorageLevel.MEMORY_AND_DISK)
 
     out: dict[str, DataFrame] = {}
     for domain in DOMAINS:
