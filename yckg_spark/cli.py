@@ -1,0 +1,149 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+North-rule launch mode: the job is packaged as a zip and launched as
+
+    spark-submit --master <cluster> --py-files dist/yckg_spark.zip \
+        yckg_spark/cli.py build --input <web_pages> --output <kg_dir>
+
+(in the sandbox ``--master local[N]``; on a real cluster the same command
+with YARN/K8s master and executor counts N vs 4N). The driver loop is the
+checkpoint-resumable bucket materializer in ``yckg_spark.materialize`` —
+re-running the identical command after a crash resumes from the lineage
+manifest and never duplicates triples.
+
+Subcommands
+-----------
+build       scan web pages → extraction UDF → parse → emit → dedup →
+            partitioned triple store with per-commit lineage + metrics
+export-nt   gzip N-Triples export of a built triple store (reference's
+            output format, Code/create_yelp_nt_files.py:180-181)
+synth       deterministic synthetic web_pages corpus (fixtures) for
+            benchmarking — no external data
+query       run one of the CQ1-16 competency questions over a built store
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+# When shipped via --py-files the package root is already importable; when
+# run from a checkout, add the repo root.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _spark(args):
+    from yckg_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"yckg-{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_build(args) -> int:
+    from yckg_spark.materialize import run_resumable
+    from yckg_spark.sources.web_pages import read_web_pages
+
+    spark = _spark(args)
+    pages = read_web_pages(spark, args.input)
+    t0 = time.time()
+    result = run_resumable(
+        spark,
+        pages,
+        args.output,
+        n_buckets=args.n_buckets,
+        use_extraction=not args.skip_extraction,
+    )
+    elapsed = time.time() - t0
+    out = {
+        "buckets_committed": result["buckets_committed"],
+        "total_triples": result["total_triples"],
+        "seconds": round(elapsed, 3),
+        "triples_per_sec": round(result["total_triples"] / elapsed, 1) if elapsed else None,
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_export_nt(args) -> int:
+    from yckg_spark.materialize import export_nt_gz, read_triples
+    from yckg_spark.operators.canonicalize import dedup_triples
+
+    spark = _spark(args)
+    export_nt_gz(dedup_triples(read_triples(spark, args.input)), args.output)
+    print(json.dumps({"exported": args.output}))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from fixtures.generate import write_fixture
+
+    path = write_fixture(args.output, seed=args.seed, n_business=args.n_business)
+    print(json.dumps({"fixture": str(path)}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from yckg_spark.materialize import read_triples
+    from yckg_spark.operators.canonicalize import dedup_triples
+    from yckg_spark.plans.queries import ALL_CQS, register
+
+    if args.cq not in ALL_CQS:
+        print(f"error: unknown CQ {args.cq!r}; valid: {', '.join(sorted(ALL_CQS))}",
+              file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    triples = dedup_triples(read_triples(spark, args.input))
+    register(spark, triples)
+    df = ALL_CQS[args.cq](spark)
+    rows = [r.asDict() for r in df.limit(args.limit).collect()]
+    print(json.dumps({"cq": args.cq, "rows": rows}, default=str))
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="yckg", description=__doc__)
+    p.add_argument("--master", default=None, help="override spark master (default: env/local)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the KG (resumable)")
+    b.add_argument("--input", required=True, help="web_pages parquet path or table")
+    b.add_argument("--output", required=True, help="triple-store output dir")
+    b.add_argument("--n-buckets", type=int, default=8)
+    b.add_argument("--skip-extraction", action="store_true", help="trust the text column")
+    b.set_defaults(fn=cmd_build)
+
+    e = sub.add_parser("export-nt", help="gzip N-Triples export")
+    e.add_argument("--input", required=True, help="built triple-store dir")
+    e.add_argument("--output", required=True)
+    e.set_defaults(fn=cmd_export_nt)
+
+    s = sub.add_parser("synth", help="deterministic synthetic web_pages corpus")
+    s.add_argument("--output", required=True)
+    s.add_argument("--n-business", type=int, default=200)
+    s.add_argument("--seed", type=int, default=7)
+    s.set_defaults(fn=cmd_synth)
+
+    q = sub.add_parser("query", help="run a competency question")
+    q.add_argument("--input", required=True, help="built triple-store dir")
+    q.add_argument("--cq", required=True, help="cq1..cq16")
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -28,7 +28,11 @@ def get_spark(
     real cluster pass nothing and let spark-submit supply it.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or os.environ.get("YCKG_MASTER", f"local[{cpus}]")
+    # Under spark-submit the JVM gateway is pre-launched (PYSPARK_GATEWAY_PORT
+    # set) and already carries --master; never override it there. Standalone
+    # (pytest / bench) defaults to the sandbox's local master.
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        master = os.environ.get("YCKG_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
