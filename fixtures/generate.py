@@ -493,7 +493,14 @@ def write_fixture(out_dir: str, seed: int = 42, n_business: int = 100) -> str:
     records = generate_records(seed, n_business)
     pages = build_pages(records, seed)
     cols = {k: [p[k] for p in pages] for k in ("url", "warc_ts", "html", "text", "lang")}
-    pq.write_table(pa.table(cols, schema=_PAGE_SCHEMA), os.path.join(out_dir, "web_pages.parquet"))
+    # Bounded row groups so Spark's scan splits the file across tasks (a
+    # single default-size row group would serialize the extraction stage
+    # into one task); mirrors a real multi-file Common-Crawl Iceberg table.
+    pq.write_table(
+        pa.table(cols, schema=_PAGE_SCHEMA),
+        os.path.join(out_dir, "web_pages.parquet"),
+        row_group_size=2048,
+    )
     for name, rows in snapshot_tables().items():
         keys = list(rows[0].keys())
         pq.write_table(

@@ -53,9 +53,14 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
-        # Input split sizing: at 100 TB the default 128 MB is right; keep it
-        # explicit so it is visible and tunable.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Input split sizing. At 100 TB the 128 MB default is right (millions
+        # of splits regardless); at sandbox scale the corpus is a handful of
+        # files, so the UDF-heavy extraction stage needs smaller splits to
+        # fan out across all cores — override via YCKG_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("YCKG_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.driver.memory", os.environ.get("YCKG_DRIVER_MEM", "8g"))
     )
     if master:
