@@ -556,7 +556,33 @@ def q_ngram_jaccard(spark, sf_dir):
     from yckg_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return ngram_jaccard_pairs(d, threshold=0.2)
+    # the synthetic docs are mutually low-overlap word salads; 0.02 keeps a
+    # real (non-empty) near-dup tail at sf0.01 for the oracle comparison
+    return ngram_jaccard_pairs(d, threshold=0.02)
+
+
+_ORACLE_NGRAM = """
+WITH docs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 100
+), toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM docs
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+  FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common / (sa.n + sb.n - common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common / (sa.n + sb.n - common) >= 0.02
+"""
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -565,6 +591,66 @@ def q_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()["embedding"])
     return lsh_topk(e, dim=dim, k=3, n_planes=6)
+
+
+# Shared DuckDB prelude mirroring text_analysis.normalize_text/tokens:
+# lower, collapse whitespace, trim, split on single space.
+_NGRAM_PRELUDE = """
+WITH docs AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+)
+"""
+
+_SW_EN = "['the','and','of','to','a','in','is','it','that','for','was','with']"
+_SW_DE = "['der','die','das','und','ist','nicht','ein','mit','für','von']"
+_SW_FR = "['le','la','les','et','est','un','une','des','pour','que']"
+_SW_ES = "['el','la','los','y','es','un','una','de','para','que']"
+
+_ORACLE_LANG_ID = _NGRAM_PRELUDE + f"""
+, scored AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> list_contains({_SW_DE}, t))) / greatest(len(toks), 1) AS s_de,
+    len(list_filter(toks, t -> list_contains({_SW_EN}, t))) / greatest(len(toks), 1) AS s_en,
+    len(list_filter(toks, t -> list_contains({_SW_ES}, t))) / greatest(len(toks), 1) AS s_es,
+    len(list_filter(toks, t -> list_contains({_SW_FR}, t))) / greatest(len(toks), 1) AS s_fr
+  FROM docs
+)
+-- argmax over (score, lang) structs: ties go to the lexicographically
+-- larger lang, so test langs in reverse-alphabetical order with >=
+SELECT doc_id,
+  CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+    WHEN s_en >= s_de THEN 'en'
+    ELSE 'de'
+  END AS lang_pred,
+  round(greatest(s_de, s_en, s_es, s_fr), 6) AS lang_score
+FROM scored
+"""
+
+_ORACLE_QUALITY = _NGRAM_PRELUDE + f"""
+, feats AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, t -> list_contains({_SW_EN}, t))) / greatest(len(toks), 1) AS sw_en,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+    ELSE 0 END AS punct_r,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)
+    ELSE 0 END AS digit_r
+  FROM docs
+)
+SELECT doc_id,
+  round(least(n_tokens / 64.0, 1.0) * 0.4
+      + least(sw_en * 4, 1.0) * 0.3
+      + (1 - least(punct_r * 4, 1.0)) * 0.2
+      + (1 - least(digit_r * 4, 1.0)) * 0.1, 6) AS quality
+FROM feats
+"""
 
 
 def q_lang_id_pred(spark, sf_dir):
@@ -672,4 +758,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_scores": _oracle_lang_scores(),
         "fingerprint_md5": _ORACLE_FP,
         "embed_topk": _ORACLE_TOPK_EMB,
+        "ngram_jaccard": _ORACLE_NGRAM,
+        "lang_id_pred": _ORACLE_LANG_ID,
+        "quality_score": _ORACLE_QUALITY,
     }

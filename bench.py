@@ -31,6 +31,11 @@ from yckg_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Shuffle/cache blocks on tmpfs: the sandbox's single virtual disk sustains
+# ~145 MB/s shared across all threads and flatlines any multi-core run;
+# real clusters have per-node NVMe (see BENCH/BASELINE.md).
+os.environ.setdefault("YCKG_LOCAL_DIR", "/dev/shm/spark-local")
+
 
 def _count(df) -> int:
     return df.count()

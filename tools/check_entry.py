@@ -52,7 +52,7 @@ def main():
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(srows)} rows")
-            if len(srows) == 0 and name != "ngram_jaccard":
+            if len(srows) == 0:
                 print(f"WARN {name}: zero rows")
             continue
         try:

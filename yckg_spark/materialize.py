@@ -107,6 +107,9 @@ def run_resumable(
             json.dump(commit, fh)
         metrics_all.append(commit)
         commits += 1
+        # drop this bucket's stage-cut blocks (classified + parsed domains)
+        # before the next bucket materializes its own
+        spark.catalog.clearCache()
         if fail_after is not None and commits >= fail_after:
             raise RuntimeError(f"injected failure after {commits} commits")
     return {

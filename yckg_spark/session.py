@@ -62,6 +62,11 @@ def get_spark(
             os.environ.get("YCKG_MAX_PARTITION_BYTES", "134217728"),
         )
         .config("spark.driver.memory", os.environ.get("YCKG_DRIVER_MEM", "8g"))
+        # Shuffle/cache block storage. On a real cluster each executor has
+        # its own local NVMe; in this single-VM sandbox the shared virtual
+        # disk serializes block I/O across all threads, so YCKG_LOCAL_DIR
+        # (e.g. /dev/shm/spark) emulates per-node fast storage.
+        .config("spark.local.dir", os.environ.get("YCKG_LOCAL_DIR", "/tmp"))
     )
     if master:
         builder = builder.master(master)

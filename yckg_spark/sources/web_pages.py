@@ -53,14 +53,17 @@ def parse_records(
     over these records, so the post-extraction classified frame needs a
     stage cut — without one every branch re-runs the extraction UDF.
 
-    ``scratch_dir`` (preferred at scale): materialize the classified frame
-    to parquet and re-read it. Columnar, splittable, contention-free — the
-    local equivalent of the production two-stage pipeline (extracted-records
+    The cut sits AFTER the typed ``from_json`` parse, not on the raw
+    classified text: emission fans out into ~12 triple-family branches and
+    a pre-parse cut re-runs the (expensive) JSON parse in every branch —
+    measured ~3× more CPU on the emission stage. With the post-parse cut
+    the extraction UDF and each domain's parse run exactly once per build.
+
+    ``scratch_dir`` (preferred at scale): materialize the parsed domain
+    frames to parquet and re-read them. Columnar, splittable,
+    contention-free — the production two-stage pipeline (extracted-records
     table between extraction and emission). Block-manager ``persist`` is the
-    fallback (``cache=True`` / a ``StorageLevel`` attr name string); measured
-    on this workload the deserialized in-heap cache stops scaling past ~8
-    concurrent tasks in one JVM (lock contention on cached-block reads),
-    while the parquet cut scales linearly.
+    fallback (``cache=True`` / a ``StorageLevel`` attr name string).
     """
     pages = pages.filter(F.col("lang") == lang)
     if use_extraction:
@@ -76,11 +79,12 @@ def parse_records(
         text_col.alias("record_text"),
         classify_domain(text_col).alias("domain"),
     )
+    spark = classified.sparkSession
     if scratch_dir:
-        spark = classified.sparkSession
-        path = f"{scratch_dir}/classified.parquet"
-        classified.write.mode("overwrite").parquet(path)
-        classified = spark.read.parquet(path)
+        # interim cut so the five domain parses share one extraction pass
+        cpath = f"{scratch_dir}/classified.parquet"
+        classified.write.mode("overwrite").parquet(cpath)
+        classified = spark.read.parquet(cpath)
     elif cache:
         from pyspark import StorageLevel
 
@@ -88,11 +92,12 @@ def parse_records(
         # in-heap memory-store pressure that a 10×-bigger corpus would put on
         # the executor heap; page cache makes re-reads near-memory-speed.
         level = getattr(StorageLevel, cache) if isinstance(cache, str) else StorageLevel.DISK_ONLY
+        # interim cut so the five domain parses share one extraction pass
         classified = classified.persist(level)
 
     out: dict[str, DataFrame] = {}
     for domain in DOMAINS:
-        out[domain] = (
+        parsed = (
             classified.filter(F.col("domain") == domain)
             .select(
                 "url",
@@ -101,4 +106,11 @@ def parse_records(
             )
             .select("url", "warc_ts", "r.*")
         )
+        if scratch_dir:
+            path = f"{scratch_dir}/parsed_{domain}.parquet"
+            parsed.write.mode("overwrite").parquet(path)
+            parsed = spark.read.parquet(path)
+        elif cache:
+            parsed = parsed.persist(level)
+        out[domain] = parsed
     return out
