@@ -84,6 +84,67 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def _resize_dims(w: int | None, h: int | None, max_side: int) -> tuple[int, int] | None:
+    if not w or not h:
+        return None
+    if max(w, h) <= max_side:
+        return w, h
+    scale = max_side / max(w, h)
+    return max(1, round(w * scale)), max(1, round(h * scale))
+
+
+def resize_images(media: DataFrame, max_side: int = 256, fake: bool = True) -> DataFrame:
+    """Image resize plumbing over Arrow batches: aspect-preserving target
+    dimensions are computed for real (pure arithmetic); the pixel resample
+    itself is the stubbed step — ``fake=True`` emits a deterministic
+    content-hash placeholder payload sized to the target, ``fake=False``
+    raises until Pillow is swapped in. Rows without dimensions pass through
+    with null payload (the errors-side convention)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                dims = _resize_dims(
+                    None if pd.isna(w) else int(w), None if pd.isna(h) else int(h), max_side
+                )
+                out["media_id"].append(mid)
+                if dims is None or payload is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["payload"].append(None)
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real image resample requires Pillow — not in this container"
+                    )
+                nw, nh = dims
+                seed = hashlib.sha256(payload).digest()
+                fake_px = (seed * ((nw * nh * 3) // len(seed) + 1))[: nw * nh * 3]
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["payload"].append(fake_px)
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "width", "height", "payload")
+        .mapInPandas(batches, RESIZED_SCHEMA)
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plumbing*: one output row per sampled timestamp
     (the frame decode itself is the stubbed step). Pure expressions."""
