@@ -42,6 +42,8 @@ def find_spark_submit() -> str:
 
 def run_build(spark_submit: str, zip_path: Path, cpus: int, input_dir: str,
               out_dir: str, n_buckets: int) -> dict:
+    import resource
+
     shutil.rmtree(out_dir, ignore_errors=True)
     cmd = [
         spark_submit,
@@ -58,6 +60,7 @@ def run_build(spark_submit: str, zip_path: Path, cpus: int, input_dir: str,
     # Small scan splits at both levels: the sandbox corpus is one ~100 MB
     # file; 4 MB splits give every core extraction work (at 100 TB the
     # default 128 MB already yields millions of splits).
+    ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -78,7 +81,15 @@ def run_build(spark_submit: str, zip_path: Path, cpus: int, input_dir: str,
     if proc.returncode != 0 or last_json is None:
         sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:])
         raise RuntimeError(f"spark-submit build failed at local[{cpus}]")
-    return json.loads(last_json)
+    ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    r = json.loads(last_json)
+    # CPU-seconds consumed by the whole child tree (JVM + python workers):
+    # utilization = cpu_s / (wall * cores) disambiguates "host stole cycles"
+    # (low util) from "the job did more work" (high cpu_s) across noisy reps.
+    cpu_s = (ru1.ru_utime - ru0.ru_utime) + (ru1.ru_stime - ru0.ru_stime)
+    r["cpu_s"] = round(cpu_s, 1)
+    r["util_cores"] = round(cpu_s / r["seconds"], 2) if r.get("seconds") else None
+    return r
 
 
 def main() -> None:

@@ -67,6 +67,7 @@ def cmd_build(args) -> int:
         "triples_per_sec": round(result["total_triples"] / elapsed, 1) if elapsed else None,
         "master": spark.sparkContext.master,
         "default_parallelism": spark.sparkContext.defaultParallelism,
+        "commits": result["commits"],
     }
     print(json.dumps(out))
     return 0

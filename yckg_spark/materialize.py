@@ -88,10 +88,12 @@ def run_resumable(
         edir = os.path.join(out_dir, "errors", f"bucket={b}")
         triples.write.mode("overwrite").parquet(tdir)  # idempotent re-commit
         errors.write.mode("overwrite").parquet(edir)
+        t_write = time.time() - t0
         n_triples = spark.read.parquet(tdir).count()
         n_errors = spark.read.parquet(edir).count()
         n_pages = subset.count()
         elapsed = time.time() - t0
+        t_counts = elapsed - t_write
 
         commit = {
             "bucket": b,
@@ -99,6 +101,8 @@ def run_resumable(
             "n_triples": n_triples,
             "n_errors": n_errors,
             "seconds": round(elapsed, 3),
+            "write_s": round(t_write, 3),
+            "counts_s": round(t_counts, 3),
             "triples_per_sec": round(n_triples / elapsed, 1) if elapsed else None,
             "commit_id": f"b{b}-{n_pages}-{n_triples}",
         }
