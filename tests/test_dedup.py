@@ -1,0 +1,94 @@
+"""Dedup operator family: exact, minhash-LSH, simhash, n-gram Jaccard,
+embedding cosine — on a tiny corpus with planted duplicates."""
+
+import pytest
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                                   # exact dup of 1
+        (3, "The  Quick  brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the garden outside"),
+        # ^ same after normalization (case + whitespace)
+        (4, BASE.replace("garden", "meadow")),       # near-dup: one word changed
+        (5, "completely different text about spark query engines and "
+            "distributed shuffle partitioning strategies at petabyte scale"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_normalized_texts(spark, docs):
+    from yckg_spark.operators.dedup import exact_dedup
+
+    groups = {r["keep_id"]: r["n_docs"] for r in exact_dedup(docs).collect()}
+    assert groups[1] == 3          # docs 1, 2, 3 collapse
+    assert groups[4] == 1
+    assert groups[5] == 1
+
+
+def test_minhash_lsh_finds_near_dups_not_distinct(spark, docs):
+    from yckg_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 4) in pairs          # near-dup caught
+    assert pairs[(1, 4)] < 1.0
+    assert not any(5 in p for p in pairs)   # distinct doc pairs with nothing
+
+
+def test_minhash_deterministic(spark, docs):
+    from yckg_spark.operators.dedup import minhash_signatures
+
+    a = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    b = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert a == b
+    assert a[1] == a[2]             # identical text -> identical signature
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.dedup import simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2] == sh[3]
+
+    def hamming(x, y):
+        return bin((x ^ y) & 0xFFFFFFFF).count("1")
+
+    assert hamming(sh[1], sh[4]) < hamming(sh[1], sh[5])
+
+
+def test_ngram_jaccard_exact_scores(spark, docs):
+    from yckg_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 4)] < 1.0   # one word changed -> most 3-grams shared
+    assert (1, 5) not in pairs
+
+
+def test_embedding_neardup(spark):
+    from yckg_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0, 0.0]),
+            ("b", [0.999, 0.01, 0.0]),   # nearly parallel to a
+            ("c", [0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert pairs == {("a", "b")}

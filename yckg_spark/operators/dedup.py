@@ -98,6 +98,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    # Stage cut before the self-join: without it both join sides re-run the
+    # whole shingle-explode + 32-way min aggregation (2x the dominant cost;
+    # at corpus scale signatures would be materialized to a table here).
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.DISK_ONLY)
     banded = sig.select(
         F.col(id_col).alias("id"),
         "sig",
