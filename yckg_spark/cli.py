@@ -109,6 +109,43 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    from yckg_spark.streaming.incremental import start_incremental_build
+
+    spark = _spark(args)
+    q = start_incremental_build(
+        spark,
+        args.input,
+        args.output,
+        args.checkpoint,
+        use_extraction=not args.skip_extraction,
+        available_now=not args.follow,
+    )
+    q.awaitTermination()
+    print(json.dumps({"stream": "drained" if not args.follow else "stopped",
+                      "output": args.output}))
+    return 0
+
+
+def cmd_discover_mappings(args) -> int:
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.mapping_discovery import (
+        discover_category_mappings,
+        grouped_mappings,
+    )
+
+    spark = _spark(args)
+    cats = spark.read.parquet(args.categories).select(
+        F.col(args.category_col).alias("category")
+    )
+    types = spark.read.parquet(args.types).select(F.col(args.label_col).alias("label"))
+    m = discover_category_mappings(cats, types, threshold=args.threshold)
+    grouped_mappings(m).write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"mappings": m.count(), "output": args.output}))
+    return 0
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="yckg", description=__doc__)
     p.add_argument("--master", default=None, help="override spark master (default: env/local)")
@@ -138,6 +175,24 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--cq", required=True, help="cq1..cq16")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    st = sub.add_parser("stream", help="incremental build from a landing dir")
+    st.add_argument("--input", required=True, help="landing dir of web_pages parquet files")
+    st.add_argument("--output", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--skip-extraction", action="store_true")
+    st.add_argument("--follow", action="store_true",
+                    help="keep tailing instead of drain-and-stop")
+    st.set_defaults(fn=cmd_stream)
+
+    dm = sub.add_parser("discover-mappings", help="offline category->schema discovery")
+    dm.add_argument("--categories", required=True, help="parquet with a category column")
+    dm.add_argument("--category-col", default="category")
+    dm.add_argument("--types", required=True, help="parquet of schema.org types")
+    dm.add_argument("--label-col", default="label")
+    dm.add_argument("--threshold", type=float, default=0.4)
+    dm.add_argument("--output", required=True)
+    dm.set_defaults(fn=cmd_discover_mappings)
     return p
 
 
