@@ -58,6 +58,7 @@ def cmd_build(args) -> int:
         args.output,
         n_buckets=args.n_buckets,
         use_extraction=not args.skip_extraction,
+        only_buckets=[int(x) for x in args.buckets.split(",")] if args.buckets else None,
     )
     elapsed = time.time() - t0
     out = {
@@ -157,6 +158,8 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("--output", required=True, help="triple-store output dir")
     b.add_argument("--n-buckets", type=int, default=8)
     b.add_argument("--skip-extraction", action="store_true", help="trust the text column")
+    b.add_argument("--buckets", default=None,
+                   help="comma-separated bucket ids this process handles (worker sharding)")
     b.set_defaults(fn=cmd_build)
 
     e = sub.add_parser("export-nt", help="gzip N-Triples export")

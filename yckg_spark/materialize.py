@@ -64,11 +64,15 @@ def run_resumable(
     n_buckets: int = N_BUCKETS_DEFAULT,
     use_extraction: bool = True,
     fail_after: int | None = None,
+    only_buckets: list[int] | None = None,
 ) -> dict:
     """Build the KG bucket-by-bucket with commit-level lineage.
 
     ``fail_after`` aborts after that many bucket commits (test hook for the
-    kill-and-resume scenario). Returns the run metrics dict.
+    kill-and-resume scenario). ``only_buckets`` restricts this process to a
+    shard of the bucket space — how separate workers (executors/jobs on a
+    real cluster) split one build between them; each writes disjoint
+    partitions and manifest rows, so shards compose. Returns run metrics.
     """
     os.makedirs(_manifest_path(out_dir), exist_ok=True)
     done = completed_buckets(spark, out_dir)
@@ -76,7 +80,7 @@ def run_resumable(
     commits = 0
     metrics_all: list[dict] = []
     for b in range(n_buckets):
-        if b in done:
+        if b in done or (only_buckets is not None and b not in only_buckets):
             continue
         subset = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
         records = parse_records(subset, use_extraction=use_extraction)

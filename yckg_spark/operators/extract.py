@@ -64,6 +64,15 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text_py)
 
 
+# The function IS deterministic (pure function of the bytes — the north-star
+# invariant), but the flag must be off so Catalyst cannot collapse the
+# projection into its consumers and evaluate the UDF once per reference:
+# with it on, plans carried TWO stacked ArrowEvalPython nodes (one feeding
+# the domain filter, one re-extracting for record_text) — 2x the Python
+# extraction cost on every page.
+extract_text_udf = extract_text_udf.asNondeterministic()
+
+
 def with_extracted_text(pages, html_col: str = "html", out_col: str = "extracted_text"):
     """pages(url, warc_ts, html, ...) → + extracted_text column."""
     return pages.withColumn(out_col, extract_text_udf(F.col(html_col)))
