@@ -680,7 +680,32 @@ def q_multimodal_features(spark, sf_dir):
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    return extract_features(media, fake=True)
+    feats = extract_features(media, fake=True)
+    # posexplode the array<float> so the driver canonicalizer (which sorts
+    # and hashes scalar cells) can compare it; the fake feature values are
+    # 16-bit hash slices / 2^16, exact in float32 and in the DuckDB oracle.
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("feature").alias("idx", "v"),
+    ).select("media_id", "n_bytes", "idx", F.col("v").cast("double").alias("value"))
+
+
+# DuckDB recomputation of the deterministic fake decode: sha256 over the
+# UTF-8 bytes of text (DuckDB's sha256(VARCHAR) hashes UTF-8 bytes, same as
+# hashlib over encode(text)), then 8 big-endian 16-bit slices / 2^16.
+_ORACLE_MULTIMODAL = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT media_id, n_bytes, i AS idx,
+       ('0x' || substr(hx, i * 4 + 1, 4))::BIGINT / 65536.0 AS value
+FROM m, range(8) t(i)
+"""
 
 
 def q_kg_build(spark, sf_dir):
@@ -761,4 +786,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ORACLE_NGRAM,
         "lang_id_pred": _ORACLE_LANG_ID,
         "quality_score": _ORACLE_QUALITY,
+        "multimodal_features": _ORACLE_MULTIMODAL,
     }

@@ -77,6 +77,37 @@ def test_nt_export_roundtrip(spark, pages, tmp_path):
     assert first.endswith(" .")
 
 
+def test_bucketed_build_matches_flat_and_prunes(spark, pages, tmp_path):
+    """Bucket-partitioned corpus (Iceberg bucket(url) emulation): identical
+    store content to the flat-corpus build, AND the per-bucket subset scan
+    is partition-pruned (the 0.8-efficiency scaling fix)."""
+    from pyspark.sql import functions as F
+
+    from yckg_spark.sources.web_pages import (
+        read_bucket_spec,
+        read_web_pages,
+        write_bucketed_pages,
+    )
+
+    bdir = str(tmp_path / "bucketed")
+    write_bucketed_pages(pages, bdir, n_buckets=4)
+    assert read_bucket_spec(bdir)["n_buckets"] == 4
+
+    bpages = read_web_pages(spark, bdir)
+    assert "bucket" in bpages.columns
+    # bucket filter must reach PartitionFilters, not a post-scan Filter
+    plan = bpages.filter(F.col("bucket") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "(bucket" in plan.split("PartitionFilters")[1][:80]
+
+    out = str(tmp_path / "kg_bucketed")
+    run_resumable(spark, bpages, out, n_buckets=4, use_extraction=False)
+    got = {
+        tuple(r)
+        for r in dedup_triples(read_triples(spark, out)).select(*CMP_COLS).collect()
+    }
+    assert got == _full_set(spark, pages)
+
+
 def test_salted_agg_matches_plain(spark, pages):
     from pyspark.sql import functions as F
 

@@ -47,10 +47,15 @@ def _spark(args):
 
 def cmd_build(args) -> int:
     from yckg_spark.materialize import run_resumable
-    from yckg_spark.sources.web_pages import read_web_pages
+    from yckg_spark.sources.web_pages import read_bucket_spec, read_web_pages
 
     spark = _spark(args)
     pages = read_web_pages(spark, args.input)
+    spec = read_bucket_spec(args.input)
+    if spec is not None and spec["n_buckets"] != args.n_buckets:
+        # physical layout disagrees with the requested bucket count: the
+        # partition column can't be trusted, fall back to recomputing
+        pages = pages.drop("bucket")
     t0 = time.time()
     result = run_resumable(
         spark,
@@ -71,6 +76,17 @@ def cmd_build(args) -> int:
         "commits": result["commits"],
     }
     print(json.dumps(out))
+    return 0
+
+
+def cmd_bucketize(args) -> int:
+    """Rewrite a corpus bucket-partitioned (Iceberg bucket(url) emulation)."""
+    from yckg_spark.sources.web_pages import read_web_pages, write_bucketed_pages
+
+    spark = _spark(args)
+    pages = read_web_pages(spark, args.input).drop("bucket")
+    write_bucketed_pages(pages, args.output, args.n_buckets)
+    print(json.dumps({"bucketized": args.output, "n_buckets": args.n_buckets}))
     return 0
 
 
@@ -161,6 +177,12 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("--buckets", default=None,
                    help="comma-separated bucket ids this process handles (worker sharding)")
     b.set_defaults(fn=cmd_build)
+
+    bz = sub.add_parser("bucketize", help="rewrite corpus bucket-partitioned by hash(url)")
+    bz.add_argument("--input", required=True, help="web_pages parquet path or table")
+    bz.add_argument("--output", required=True, help="bucket-partitioned output dir")
+    bz.add_argument("--n-buckets", type=int, default=8)
+    bz.set_defaults(fn=cmd_bucketize)
 
     e = sub.add_parser("export-nt", help="gzip N-Triples export")
     e.add_argument("--input", required=True, help="built triple-store dir")

@@ -76,14 +76,24 @@ def run_resumable(
     """
     os.makedirs(_manifest_path(out_dir), exist_ok=True)
     done = completed_buckets(spark, out_dir)
-    bucketed = pages.withColumn("__bucket", F.pmod(F.hash("url"), F.lit(n_buckets)))
+    if "bucket" in pages.columns:
+        # pre-bucketed corpus (Iceberg bucket(url) emulation): the bucket
+        # filter is a PartitionFilter, so each commit scans ONLY its own
+        # partition directory — no full-corpus decode per bucket, and W
+        # concurrent workers move 1/W of the bytes each instead of W full
+        # copies through the shared storage path.
+        bucketed, bcol = pages, "bucket"
+    else:
+        bucketed = pages.withColumn("__bucket", F.pmod(F.hash("url"), F.lit(n_buckets)))
+        bcol = "__bucket"
     commits = 0
     metrics_all: list[dict] = []
     for b in range(n_buckets):
         if b in done or (only_buckets is not None and b not in only_buckets):
             continue
-        subset = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
-        records = parse_records(subset, use_extraction=use_extraction)
+        subset = bucketed.filter(F.col(bcol) == b).drop(bcol)
+        persisted: list[DataFrame] = []
+        records = parse_records(subset, use_extraction=use_extraction, persisted_out=persisted)
         triples, errors = emit_all(records)
         triples = dedup_triples(triples)
 
@@ -115,9 +125,12 @@ def run_resumable(
             json.dump(commit, fh)
         metrics_all.append(commit)
         commits += 1
-        # drop this bucket's stage-cut blocks (classified + parsed domains)
-        # before the next bucket materializes its own
-        spark.catalog.clearCache()
+        # drop exactly this bucket's stage-cut blocks (classified + parsed
+        # domains) before the next bucket materializes its own — a blanket
+        # clearCache() would also evict unrelated frames a shared session
+        # (tests, bench harness, callers) has persisted
+        for df in persisted:
+            df.unpersist()
         if fail_after is not None and commits >= fail_after:
             raise RuntimeError(f"injected failure after {commits} commits")
     return {

@@ -58,9 +58,12 @@ def _decode_one(payload: bytes | None, fake: bool) -> list[float] | None:
         raise NotImplementedError(
             "real image/audio decode requires Pillow/torchaudio — not in this container"
         )
-    # deterministic fake: 8 floats derived from the content hash
+    # deterministic fake: 8 floats derived from the content hash. 16-bit
+    # slices / 2^16 are exactly representable in float32 AND exactly
+    # recomputable as doubles in a SQL oracle (hex-substr cast), so the
+    # values survive the float32 column type without precision drift.
     h = hashlib.sha256(payload).digest()
-    return [int.from_bytes(h[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(FEATURE_DIM)]
+    return [int.from_bytes(h[i * 2 : i * 2 + 2], "big") / 65536.0 for i in range(FEATURE_DIM)]
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

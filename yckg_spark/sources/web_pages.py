@@ -29,10 +29,59 @@ _RECORD_SCHEMAS = {
 
 
 def read_web_pages(spark: SparkSession, source: str) -> DataFrame:
-    """``source`` is a table name (Iceberg catalog) or a parquet path."""
+    """``source`` is a table name (Iceberg catalog) or a parquet path.
+
+    A bucket-partitioned dataset (written by :func:`write_bucketed_pages`)
+    comes back with the discovered ``bucket`` partition column appended —
+    downstream bucket filters then hit ``PartitionFilters`` (pruned scan)
+    instead of decoding every row to evaluate a hash predicate.
+    """
     if "/" in source or source.endswith(".parquet"):
         return spark.read.schema(schemas.WEB_PAGES).parquet(source)
     return spark.read.table(source)
+
+
+def bucket_spec_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_bucket_spec.json")
+
+
+def read_bucket_spec(path: str) -> dict | None:
+    """n_buckets the dataset was written with, or None if not bucketed."""
+    import json
+    import os
+
+    p = bucket_spec_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def write_bucketed_pages(pages: DataFrame, path: str, n_buckets: int) -> None:
+    """Write the corpus partitioned by ``bucket = pmod(hash(url), n)`` —
+    the sandbox emulation of an Iceberg table partitioned by
+    ``bucket(n, url)`` (SURVEY §1.4). Each materialization bucket becomes
+    a physical partition directory, so per-bucket work (resumable build
+    commits, worker shards) scans only its own slice of the corpus.
+
+    The spec file records n_buckets so readers can verify their bucket
+    count matches the physical layout before trusting the partition column.
+    """
+    import json
+
+    (
+        pages.withColumn("bucket", F.pmod(F.hash("url"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        # bounded row groups so a bucket's files stay splittable across
+        # tasks even when one writer task produced the whole partition
+        .option("parquet.block.size", 4 * 1024 * 1024)
+        .parquet(path)
+    )
+    with open(bucket_spec_path(path), "w") as fh:
+        json.dump({"n_buckets": n_buckets, "expr": "pmod(hash(url), n_buckets)"}, fh)
 
 
 def parse_records(
@@ -42,6 +91,7 @@ def parse_records(
     use_extraction: bool = True,
     cache: bool | str = True,
     scratch_dir: str | None = None,
+    persisted_out: list[DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """pages → {domain: typed record DataFrame (+ url, warc_ts)}.
 
@@ -94,6 +144,8 @@ def parse_records(
         level = getattr(StorageLevel, cache) if isinstance(cache, str) else StorageLevel.DISK_ONLY
         # interim cut so the five domain parses share one extraction pass
         classified = classified.persist(level)
+        if persisted_out is not None:
+            persisted_out.append(classified)
 
     out: dict[str, DataFrame] = {}
     for domain in DOMAINS:
@@ -112,5 +164,7 @@ def parse_records(
             parsed = spark.read.parquet(path)
         elif cache:
             parsed = parsed.persist(level)
+            if persisted_out is not None:
+                persisted_out.append(parsed)
         out[domain] = parsed
     return out
