@@ -97,7 +97,20 @@ def main() -> None:
 
     zip_path = build_zip()
     spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
-    input_dir = str(REPO / ".fixtures" / "scale170000" / "web_pages.parquet")
+    flat_dir = str(REPO / ".fixtures" / "scale170000" / "web_pages.parquet")
+    input_dir = str(REPO / ".fixtures" / "scale170000" / "web_pages_bucketed")
+    if not os.path.exists(os.path.join(input_dir, "_bucket_spec.json")):
+        # one-time rewrite: bucket-partitioned corpus (Iceberg bucket(url)
+        # emulation) so each worker's scan prunes to its own shard
+        subprocess.run(
+            [spark_submit, "--master", "local[8]", "--driver-memory", "8g",
+             "--py-files", str(zip_path), str(REPO / "yckg_spark" / "cli.py"),
+             "bucketize", "--input", flat_dir, "--output", input_dir,
+             "--n-buckets", str(N_BUCKETS)],
+            check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            env=dict(os.environ, YCKG_MAX_PARTITION_BYTES="4194304",
+                     YCKG_LOCAL_DIR="/dev/shm/spark-local"),
+        )
 
     best: dict[int, dict] = {}
     for rep in range(args.reps):

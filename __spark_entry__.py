@@ -691,6 +691,59 @@ def q_multimodal_features(spark, sf_dir):
     ).select("media_id", "n_bytes", "idx", F.col("v").cast("double").alias("value"))
 
 
+def q_geocode_join(spark, sf_dir):
+    """S6/J3/F9: rounded-coordinate reverse-geocode enrichment. Businesses
+    (derived from customer with deterministic 1-decimal coords) left-join a
+    geocode dim (derived from nation) on the stringified rounded-coord key,
+    exactly the reference's find_business_locations merge shape."""
+    from yckg_spark.operators.enrich_geocode import enrich_reverse_geocode
+
+    c = _t(spark, sf_dir, "customer")
+    biz = c.select(
+        F.col("c_custkey").cast("string").alias("business_id"),
+        ((F.col("c_custkey") % 120) / F.lit(10.0) - 6.0).alias("latitude"),
+        ((F.col("c_custkey") % 240) / F.lit(10.0) - 12.0).alias("longitude"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    geo = n.select(
+        F.concat_ws(
+            ",",
+            ((F.col("n_nationkey") % 240) / F.lit(10.0) - 12.0).cast("string"),
+            ((F.col("n_nationkey") % 120) / F.lit(10.0) - 6.0).cast("string"),
+        ).alias("coord_set"),
+        F.concat(F.lit("NB-"), F.col("n_name")).alias("neighbourhood"),
+        F.lpad(F.col("n_nationkey").cast("string"), 5, "0").alias("postcode"),
+        F.col("n_name").alias("city"),
+        F.concat(F.col("n_name"), F.lit(" County")).alias("county"),
+        F.col("n_name").alias("state"),
+        F.col("n_name").alias("country"),
+    )
+    return enrich_reverse_geocode(biz, geo)
+
+
+_ORACLE_GEOCODE = """
+WITH biz AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS business_id,
+         (c_custkey % 120) / 10.0 - 6.0  AS lat,
+         (c_custkey % 240) / 10.0 - 12.0 AS lon
+  FROM customer
+), geo AS (
+  SELECT CAST((n_nationkey % 240) / 10.0 - 12.0 AS VARCHAR) || ',' ||
+         CAST((n_nationkey % 120) / 10.0 - 6.0 AS VARCHAR) AS coord_set,
+         'NB-' || n_name AS neighbourhood,
+         lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS postcode,
+         n_name AS city,
+         n_name || ' County' AS county,
+         n_name AS state,
+         n_name AS country
+  FROM nation
+)
+SELECT business_id, neighbourhood, postcode, city, county, state, country
+FROM biz LEFT JOIN geo
+  ON CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR) = geo.coord_set
+"""
+
+
 # DuckDB recomputation of the deterministic fake decode: sha256 over the
 # UTF-8 bytes of text (DuckDB's sha256(VARCHAR) hashes UTF-8 bytes, same as
 # hashlib over encode(text)), then 8 big-endian 16-bit slices / 2^16.
@@ -745,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_scores": q_lang_scores,
         "fingerprint_md5": q_fingerprint_md5,
         "embed_topk": q_embed_topk,
+        "geocode_join": q_geocode_join,
         # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -787,4 +841,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_pred": _ORACLE_LANG_ID,
         "quality_score": _ORACLE_QUALITY,
         "multimodal_features": _ORACLE_MULTIMODAL,
+        "geocode_join": _ORACLE_GEOCODE,
     }

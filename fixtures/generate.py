@@ -453,19 +453,30 @@ def snapshot_tables() -> dict[str, list[dict]]:
     t["wd_admin"] = admin
     t["wd_population"] = population
 
-    # Nominatim reverse-geocode snapshot keyed by rounded "lon,lat"
-    t["geocode"] = [
-        {
-            "coord_set": f"{round(lon, 2)},{round(lat, 2)}",
-            "neighbourhood": f"{city} Center",
-            "postcode": f"{19100 + i:05d}",
-            "city": city,
-            "county": f"{city} County",
-            "state": state_name,
-            "country": "Canada" if code == "AB" else "United States",
-        }
-        for i, (city, code, state_name, lat, lon) in enumerate(CITIES)
-    ]
+    # Nominatim reverse-geocode snapshot keyed by rounded "lon,lat". The
+    # reference geocodes EVERY unique rounded coordinate_set it sees
+    # (reverse_coordinate_search.py:38-49), so the snapshot covers the full
+    # 0.01° grid that business jitter (±0.05°) can land in — one row per
+    # cell, all cells of a city sharing its address payload.
+    geocode = []
+    for i, (city, code, state_name, lat, lon) in enumerate(CITIES):
+        cells = set()
+        for dlat in range(-6, 7):
+            for dlon in range(-6, 7):
+                cells.add((round(lon + dlon / 100.0, 2), round(lat + dlat / 100.0, 2)))
+        for clon, clat in sorted(cells):
+            geocode.append(
+                {
+                    "coord_set": f"{clon},{clat}",
+                    "neighbourhood": f"{city} Center",
+                    "postcode": f"{19100 + i:05d}",
+                    "city": city,
+                    "county": f"{city} County",
+                    "state": state_name,
+                    "country": "Canada" if code == "AB" else "United States",
+                }
+            )
+    t["geocode"] = geocode
     return t
 
 
@@ -486,7 +497,8 @@ _PAGE_SCHEMA = pa.schema(
 
 def write_fixture(out_dir: str, seed: int = 42, n_business: int = 100) -> str:
     """Generate and write the full fixture set; idempotent via a marker."""
-    marker = os.path.join(out_dir, f"_OK_{seed}_{n_business}")
+    # v2: geocode snapshot covers the full rounded-coordinate grid
+    marker = os.path.join(out_dir, f"_OK_{seed}_{n_business}_v2")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

@@ -120,6 +120,43 @@ class TestLocations:
         extra = got - golden
         assert not missing and not extra, f"missing={list(missing)[:5]} extra={list(extra)[:5]}"
 
+    def test_reverse_geocode_matches_python_golden(self, spark, biz_df, snaps):
+        """S6/J3/F9: rounded-coord broadcast join against the geocode
+        snapshot, golden = a plain-Python replica of the reference's
+        find_business_locations merge (reverse_coordinate_search.py:31-79)
+        using real Python round()/str() on the same records."""
+        from yckg_spark.operators.enrich_geocode import enrich_reverse_geocode
+
+        got = {
+            tuple(r)
+            for r in enrich_reverse_geocode(biz_df, snaps["geocode"]).collect()
+        }
+
+        geo = {g["coord_set"]: g for g in snapshot_tables()["geocode"]}
+        want = set()
+        for b in biz_df.select("business_id", "latitude", "longitude").collect():
+            key = f"{round(b['longitude'], 2)},{round(b['latitude'], 2)}"
+            hit = geo.get(key)
+            want.add(
+                (b["business_id"],)
+                + tuple(
+                    hit[lvl] if hit else None
+                    for lvl in ("neighbourhood", "postcode", "city", "county", "state", "country")
+                )
+            )
+        assert got == want
+        # the snapshot must actually enrich a nontrivial share of businesses
+        assert sum(1 for r in got if r[1] is not None) > 0
+
+    def test_reverse_geocode_join_is_broadcast(self, spark, biz_df, snaps):
+        from yckg_spark.operators.enrich_geocode import enrich_reverse_geocode
+
+        plan = (
+            enrich_reverse_geocode(biz_df, snaps["geocode"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
     def test_link_paths_exercised(self, spark, biz_df, snaps):
         linked = link_locations(biz_df, snaps).select(
             "city_n", "city_qid", "county_qid", "state_qid", "country_qid"
