@@ -36,11 +36,25 @@ N_BUCKETS = 4
 
 
 def worker_cmd(spark_submit: str, zip_path: Path, input_dir: str, out_dir: str,
-               buckets: str) -> list[str]:
+               buckets: str, worker_idx: int) -> list[str]:
+    lo = worker_idx * CORES_PER_WORKER
+    hi = lo + CORES_PER_WORKER - 1
     return [
+        # dedicated-core pinning: a real cluster executor runs in a cgroup
+        # cpuset; without it the kernel migrates each JVM's dozens of
+        # runtime threads across all host cores and concurrent JVMs thrash
+        # each other's L1/L2 (measured ~2x CPU inflation at W=4)
+        "taskset", "-c", f"{lo}-{hi}",
+        # rusage wrapper (no /usr/bin/time in this container): runs the
+        # worker, then prints "RUSAGE_CPU_S <user+sys> ..." on stderr
+        sys.executable, str(REPO / "BENCH" / "_rusage_wrap.py"),
         spark_submit,
         "--master", f"local[{CORES_PER_WORKER}]",
         "--driver-memory", "6g",
+        # a real 2-core executor container sees 2 CPUs; without this every
+        # worker JVM sizes GC/JIT/netty pools for all host cores and W
+        # concurrent JVMs thrash each other's caches with ~23 GC threads each
+        "--conf", f"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount={CORES_PER_WORKER}",
         "--py-files", str(zip_path),
         str(REPO / "yckg_spark" / "cli.py"),
         "--shuffle-partitions", str(CORES_PER_WORKER * 4),
@@ -63,28 +77,37 @@ def run_config(spark_submit: str, zip_path: Path, input_dir: str, n_workers: int
     all_buckets = list(range(N_BUCKETS))
     shards = [all_buckets[i::n_workers] for i in range(n_workers)]
     t0 = time.time()
+    err_files = [open(f"/tmp/yckg-exec-worker-{i}.err", "w+") for i in range(len(shards))]
     procs = [
         subprocess.Popen(
             worker_cmd(spark_submit, zip_path, input_dir, out_dir,
-                       ",".join(map(str, shard))),
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+                       ",".join(map(str, shard)), i),
+            stdout=subprocess.PIPE, stderr=ef, text=True, env=env,
         )
-        for shard in shards
+        for i, (shard, ef) in enumerate(zip(shards, err_files))
     ]
     outs = [p.communicate()[0] for p in procs]
     wall = time.time() - t0
     if any(p.returncode != 0 for p in procs):
         raise RuntimeError(f"worker failed at W={n_workers}")
     total = 0
-    for o in outs:
-        for line in o.splitlines():
+    cpu_s = 0.0
+    for stdout_text, ef in zip(outs, err_files):
+        for line in stdout_text.splitlines():
             if line.startswith("{"):
                 total = total + json.loads(line)["total_triples"]
+        # rusage wrapper reports user+sys CPU across the worker on stderr
+        ef.seek(0)
+        for line in ef:
+            if line.startswith("RUSAGE_CPU_S"):
+                cpu_s += float(line.split()[-1])
+        ef.close()
     shutil.rmtree(out_dir, ignore_errors=True)
     return {
         "workers": n_workers,
         "cores_per_worker": CORES_PER_WORKER,
         "seconds": round(wall, 2),
+        "cpu_seconds_total": round(cpu_s, 1),
         "total_triples": total,
         "triples_per_sec": round(total / wall, 1),
     }

@@ -366,13 +366,13 @@ _ORACLE_MONTH = "SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, COUNT(*
 
 
 def q_scalar_ratio(spark, sf_dir):
-    """A6/CQ12 — ratio of two scalar counts."""
-    li = _t(spark, sf_dir, "lineitem").count()
-    o = _t(spark, sf_dir, "orders").count()
-    spark_df = _t(spark, sf_dir, "orders").sparkSession.createDataFrame(
-        [(round(li / o, 6),)], "avg_items double"
+    """A6/CQ12 — ratio of two scalar counts, entirely in-plan (two single-row
+    aggregates cross-joined; no driver-side action)."""
+    li = _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_li"))
+    o = _t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_o"))
+    return li.crossJoin(o).select(
+        F.round(F.col("n_li").cast("double") / F.col("n_o"), 6).alias("avg_items")
     )
-    return spark_df
 
 
 _ORACLE_RATIO = """
@@ -541,15 +541,116 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    # md5-based hash family (oracle mode): every stage — shingle hash, 32
+    # permutation mins, band hashes, candidate join, estimate filter — is
+    # recomputed verbatim by the DuckDB oracle below
     from yckg_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2, use_md5=True)
+
+
+def _minhash_oracle_sql(n_hashes: int = 32, bands: int = 8, k: int = 3,
+                        threshold: float = 0.2) -> str:
+    """DuckDB replica of the full minhash-LSH pipeline (md5 hash family)."""
+    from yckg_spark.operators.dedup import _P, _perm_consts
+
+    rpb = n_hashes // bands
+    mins = ",\n    ".join(
+        f"MIN(({a} * hv + {b}) % {_P}) AS h{i}"
+        for i, (a, b) in enumerate(_perm_consts(n_hashes))
+    )
+    arr = ", ".join(f"h{i}" for i in range(n_hashes))
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), shing AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= {k}
+      THEN list_transform(range(0, len(toks) - {k - 1}),
+                          i -> array_to_string(toks[i + 1 : i + {k}], ' '))
+      ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM docs
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT % {_P} AS hv FROM shing
+), sigs AS (
+  SELECT doc_id,
+    {mins}
+  FROM h GROUP BY doc_id
+), sigarr AS (
+  SELECT doc_id, [{arr}] AS sig FROM sigs
+), banded AS (
+  SELECT doc_id,
+         r.band,
+         ('0x' || substr(md5(array_to_string(
+             sig[r.band * {rpb} + 1 : r.band * {rpb} + {rpb}], ',')), 1, 8))::BIGINT AS bh
+  FROM sigarr, range({bands}) r(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT cand.id_a, cand.id_b,
+       len(list_filter(range(1, {n_hashes + 1}), i -> sa.sig[i] = sb.sig[i])) / {n_hashes}.0
+         AS est_jaccard
+FROM cand
+JOIN sigarr sa ON sa.doc_id = cand.id_a
+JOIN sigarr sb ON sb.doc_id = cand.id_b
+WHERE len(list_filter(range(1, {n_hashes + 1}), i -> sa.sig[i] = sb.sig[i])) / {n_hashes}.0
+      >= {threshold}
+"""
 
 
 def q_simhash(spark, sf_dir):
+    # md5-derived token hash so the 32-bit fingerprint is recomputable
+    # verbatim in DuckDB (production default is xxhash64)
     from yckg_spark.operators.dedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_t(spark, sf_dir, "documents"), use_md5=True)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Chunk-banded hamming-neighbor pair generation over simhash
+    fingerprints; the oracle recomputes brute-force all-pairs hamming <= k,
+    proving the banding loses no true pair."""
+    from yckg_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), chunks=4, max_hamming=3, use_md5=True
+    )
+
+
+def _simhash_fp_sql() -> str:
+    """DuckDB CTEs computing the identical md5-based simhash fingerprint."""
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32)
+    )
+    bits = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+)"""
+
+
+_ORACLE_SIMHASH = _simhash_fp_sql() + "\nSELECT doc_id, simhash FROM fp"
+
+_ORACLE_SIMHASH_PAIRS = _simhash_fp_sql() + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -772,6 +873,42 @@ def q_kg_build(spark, sf_dir):
     return dedup_triples(triples)
 
 
+# Full-pipeline oracle: re-derives, in plain SQL over the same customer ⋈
+# nation join the pages were synthesized from, every triple the
+# extraction→classify→parse→emit→dedup path produces for these business
+# records (branch A fixed scalars + keywords + globally-distinct category
+# types; null fields route to the errors side, not here). stars goes
+# JSON-number → double → string in the pipeline, so the oracle casts
+# through DOUBLE to get identical shortest-repr lexicals.
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_ORACLE_KG_BUILD = f"""
+WITH biz AS (
+  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS bid,
+         c_name AS name, n_name AS city,
+         CAST(CAST(round(c_acctbal, 2) AS DOUBLE) AS VARCHAR) AS stars_lex,
+         CAST(c_custkey AS VARCHAR) AS rc_lex,
+         c_mktsegment AS cat
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), s AS (
+  SELECT '{ENT}business_id/' || bid AS subject, * FROM biz
+), t AS (
+  SELECT subject, '{RDF_TYPE}' AS predicate, '{SCH}LocalBusiness' AS object,
+         FALSE AS is_literal, CAST(NULL AS VARCHAR) AS datatype FROM s
+  UNION ALL SELECT subject, '{SCH}url', 'https://www.yelp.com/biz/' || bid, FALSE, NULL FROM s
+  UNION ALL SELECT subject, '{SCH}legalName', name, TRUE, '{_XSD}string' FROM s
+  UNION ALL SELECT subject, '{VOC}locatedInCity', city, TRUE, '{_XSD}string' FROM s
+  UNION ALL SELECT subject, '{VOC}locatedInState', 'PA', TRUE, '{_XSD}string' FROM s
+  UNION ALL SELECT subject, '{SCH}aggregateRating', stars_lex, TRUE, '{_XSD}decimal' FROM s
+  UNION ALL SELECT subject, '{SCH}reviewCount', rc_lex, TRUE, '{_XSD}integer' FROM s
+  UNION ALL SELECT subject, '{SCH}keywords', '{CAT}' || cat, FALSE, NULL FROM s
+  UNION ALL SELECT DISTINCT '{CAT}' || cat, '{RDF_TYPE}', '{VOC}YelpCategory', FALSE, NULL FROM s
+)
+SELECT DISTINCT subject, predicate, object, is_literal, datatype,
+       'business' AS source_domain
+FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_customer": q_kg_triples_customer,
@@ -799,11 +936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": q_fingerprint_md5,
         "embed_topk": q_embed_topk,
         "geocode_join": q_geocode_join,
-        # rows-only (non-SQL-expressible)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        "lsh_topk": q_lsh_topk,
+        "lsh_topk": q_lsh_topk,  # rows-only: approximate float scoring, no SQL oracle
         "lang_id_pred": q_lang_id_pred,
         "quality_score": q_quality_score,
         "multimodal_features": q_multimodal_features,
@@ -842,4 +979,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _ORACLE_QUALITY,
         "multimodal_features": _ORACLE_MULTIMODAL,
         "geocode_join": _ORACLE_GEOCODE,
+        "simhash": _ORACLE_SIMHASH,
+        "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
+        "kg_build": _ORACLE_KG_BUILD,
+        "minhash_lsh_pairs": _minhash_oracle_sql(),
     }

@@ -69,6 +69,38 @@ def test_simhash_close_for_near_dups(spark, docs):
     assert hamming(sh[1], sh[4]) < hamming(sh[1], sh[5])
 
 
+def test_simhash_pairs_equal_brute_force(spark, docs):
+    """Chunk-banded pair generation finds exactly the brute-force
+    hamming<=k set (pigeonhole losslessness), and the fingerprint-identical
+    planted dups (1,2,3) always pair at hamming 0."""
+    from yckg_spark.operators.dedup import simhash, simhash_pairs
+
+    k = 3
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, chunks=4, max_hamming=k).collect()
+    }
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sh)
+    want = {
+        (a, b): bin((sh[a] ^ sh[b]) & 0xFFFFFFFF).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sh[a] ^ sh[b]) & 0xFFFFFFFF).count("1") <= k
+    }
+    assert got == want
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0 and got[(2, 3)] == 0
+
+
+def test_simhash_pairs_rejects_bad_pigeonhole(spark, docs):
+    import pytest as _pytest
+
+    from yckg_spark.operators.dedup import simhash_pairs
+
+    with _pytest.raises(ValueError):
+        simhash_pairs(docs, chunks=4, max_hamming=4)
+
+
 def test_ngram_jaccard_exact_scores(spark, docs):
     from yckg_spark.operators.dedup import ngram_jaccard_pairs
 

@@ -18,6 +18,7 @@ from yckg_spark.operators.mapping_discovery import (
         ("Bakeries", "Bakery"),
         ("Churches", "Church"),
         ("Businesses", "Business"),
+        ("Classes", "Class"),        # -sses rule (inflect parity)
         ("Doctors", "Doctor"),
         ("Children", "Child"),
         ("Series", "Series"),        # uncountable

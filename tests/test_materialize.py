@@ -108,6 +108,29 @@ def test_bucketed_build_matches_flat_and_prunes(spark, pages, tmp_path):
     assert got == _full_set(spark, pages)
 
 
+def test_store_predicate_partition_prunes_cq_scans(spark, pages, tmp_path):
+    """The triple store is partitioned by predicate under each bucket; a CQ
+    predicate filter must land in PartitionFilters (pruned scan), not a
+    post-scan Filter over the whole store."""
+    from yckg_spark.plans import queries as Q
+
+    out = str(tmp_path / "kg_pred")
+    run_resumable(spark, pages, out, n_buckets=2, use_extraction=False)
+    store = read_triples(spark, out)
+    assert "predicate" in store.columns
+    Q.register(spark, store)
+    plan = Q.cq2_restaurants_count(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "predicate" in seg
+    # and the store content is unchanged by the layout
+    got = {
+        tuple(r)
+        for r in dedup_triples(store).select(*CMP_COLS).collect()
+    }
+    assert got == _full_set(spark, pages)
+
+
 def test_salted_agg_matches_plain(spark, pages):
     from pyspark.sql import functions as F
 

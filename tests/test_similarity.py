@@ -1,0 +1,90 @@
+"""ANN quality: multi-table hyperplane LSH vs the exact brute-force
+baseline on the driver's embeddings table (500 × dim-64 vectors)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Planted-cluster corpus: 50 centroids x 10 members, dim 64 — the
+    structure real embedding corpora have (the driver's embeddings table is
+    isotropic noise, where ANY sub-quadratic ANN is information-
+    theoretically capped; see lsh_topk docstring)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    cents = rng.standard_normal((50, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in cents:
+        for _ in range(10):
+            # per-vector noise NORM ~0.2 (0.025 per component x sqrt(64)),
+            # i.e. same-cluster cosine ~0.96 — tight clusters
+            v = c + 0.025 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_lsh_topk_recall_vs_exact(spark, clustered):
+    """OR-amplified LSH (4 tables x 2^6 buckets) must reach recall >= 0.9
+    against exact top-5 on clustered data, at a candidate budget
+    ~n_tables*N*avg_bucket — two orders below the N^2 brute force."""
+    from yckg_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    k = 5
+    exact = _topk_sets(brute_force_topk(clustered, clustered, k=k).collect())
+    approx = _topk_sets(
+        lsh_topk(clustered, dim=64, k=k, n_planes=6, n_tables=4).collect()
+    )
+    hit = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hit / total
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_lsh_single_table_is_weaker_than_multi(spark, emb):
+    """The round-1 single-table shape is strictly dominated: adding tables
+    can only add candidates, so multi-table recall >= single-table."""
+    from yckg_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    k = 5
+    exact = _topk_sets(brute_force_topk(emb, emb, k=k).collect())
+    one = _topk_sets(lsh_topk(emb, dim=64, k=k, n_planes=6, n_tables=1).collect())
+    four = _topk_sets(lsh_topk(emb, dim=64, k=k, n_planes=6, n_tables=4).collect())
+
+    def recall(ap):
+        return sum(len(exact[q] & ap.get(q, set())) for q in exact) / sum(
+            len(v) for v in exact.values()
+        )
+
+    assert recall(four) >= recall(one)
+
+
+def test_lsh_max_bucket_cap_is_deterministic(spark, emb):
+    from yckg_spark.operators.similarity import lsh_topk
+
+    a = sorted(
+        tuple(r)
+        for r in lsh_topk(emb, dim=64, k=3, n_planes=4, n_tables=2, max_bucket=32).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in lsh_topk(emb, dim=64, k=3, n_planes=4, n_tables=2, max_bucket=32).collect()
+    )
+    assert a == b and len(a) > 0

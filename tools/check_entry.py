@@ -46,6 +46,8 @@ def main():
             df = fn(spark, SF_DIR)
             srows = df.collect()
             scols = df.columns
+            for p in getattr(df, "_yckg_persisted", []):
+                p.unpersist()
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failed.append(name)

@@ -25,10 +25,23 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+DEDUP_KEY = ["subject", "predicate", "object", "is_literal", "datatype"]
+
+
 def dedup_triples(triples: DataFrame) -> DataFrame:
-    """Global set semantics over the emitted triple multiset."""
-    return triples.dropDuplicates(
-        ["subject", "predicate", "object", "is_literal", "datatype"]
+    """Global set semantics over the emitted triple multiset.
+
+    Any carried column OUTSIDE the dedup key (e.g. ``source_domain``) is
+    resolved with a deterministic min() instead of dropDuplicates'
+    arbitrary survivor — two builds at different parallelism produce
+    byte-identical stores even when the same triple is emitted by several
+    domains.
+    """
+    extra = [c for c in triples.columns if c not in DEDUP_KEY]
+    if not extra:
+        return triples.dropDuplicates(DEDUP_KEY)
+    return triples.groupBy(*DEDUP_KEY).agg(
+        *[F.min(c).alias(c) for c in extra]
     )
 
 

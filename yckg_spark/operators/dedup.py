@@ -5,7 +5,8 @@ All of these run over a ``documents(doc_id, text, ...)``-shaped table.
   * exact_dedup          — content-hash groupBy (the 100 TB workhorse)
   * minhash_signatures / minhash_lsh_pairs — shingle → minhash → band →
     bucket join; sub-quadratic near-dup at corpus scale
-  * simhash              — bit-vote fingerprint, hamming-bucket grouping
+  * simhash / simhash_pairs — bit-vote fingerprint + chunk-banded
+    hamming-neighbor pair generation (pigeonhole-lossless for k < chunks)
   * ngram_jaccard_pairs  — exact set-similarity join on shingles (use after
     LSH candidate generation at scale; exact only at small N)
   * embedding_neardup_pairs — cosine near-dup over an embedding column
@@ -67,17 +68,24 @@ def shingles(col: Column, k: int = 3) -> Column:
     )).otherwise(F.array(normalize_text(col)))
 
 
+def _md5_32(col: Column) -> Column:
+    """First 32 bits of md5 as a bigint — slower than xxhash64 but
+    recomputable verbatim in external SQL engines (oracle mode)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n_hashes: int = 32, k: int = 3,
+    n_hashes: int = 32, k: int = 3, use_md5: bool = False,
 ) -> DataFrame:
     """(id, sig array<bigint>): min over shingle hashes per permutation.
 
     Explode-then-aggregate: one shuffle keyed by doc id; each permutation is
-    a JVM-side min aggregate (no Python).
+    a JVM-side min aggregate (no Python). ``use_md5`` swaps the shingle
+    hash for the oracle-recomputable md5 variant.
     """
     sh = df.select(F.col(id_col), F.explode_outer(shingles(F.col(text_col), k)).alias("sh"))
-    h = F.pmod(F.xxhash64("sh"), F.lit(_P))
+    h = F.pmod(_md5_32(F.col("sh")) if use_md5 else F.xxhash64("sh"), F.lit(_P))
     aggs = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))).alias(f"h{i}")
         for i, (a, b) in enumerate(_perm_consts(n_hashes))
@@ -89,6 +97,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 32, bands: int = 8, k: int = 3, threshold: float = 0.5,
+    use_md5: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding + estimated Jaccard filter.
 
@@ -97,24 +106,26 @@ def minhash_lsh_pairs(
     heavy corpora because the band hash mixes ``rows_per_band`` minhashes.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, k, use_md5=use_md5)
     # Stage cut before the self-join: without it both join sides re-run the
     # whole shingle-explode + 32-way min aggregation (2x the dominant cost;
     # at corpus scale signatures would be materialized to a table here).
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.DISK_ONLY)
+    def band_hash(b: int) -> Column:
+        joined = F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
+        return _md5_32(joined) if use_md5 else F.xxhash64(joined)
+
     banded = sig.select(
         F.col(id_col).alias("id"),
         "sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)))
-                    .alias("bh"),
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bh")
@@ -131,16 +142,32 @@ def minhash_lsh_pairs(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
         / F.lit(float(len(_perm_consts(n_hashes))))
     )
-    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+    out = cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
+    out._yckg_persisted = [sig]  # callers/benches unpersist after materializing
+    return out
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """(id, simhash bigint): per-bit majority vote over token hashes."""
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32,
+    use_md5: bool = False,
+) -> DataFrame:
+    """(id, simhash bigint): per-bit majority vote over token hashes.
+
+    ``use_md5=True`` derives the 32-bit token hash from the first 8 hex
+    digits of md5 instead of xxhash64 — slower, but recomputable verbatim
+    in external SQL engines, which is how the driver oracle checks this
+    fingerprint end-to-end. Production default stays xxhash64 (JVM,
+    codegen'd, no string hex round-trip).
+    """
+    if use_md5:
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64("tok")
     toks = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     votes = [
         F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
@@ -151,6 +178,67 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select(id_col, sim.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32,
+    chunks: int = 4, max_hamming: int = 3, use_md5: bool = False,
+) -> DataFrame:
+    """Near-dup pairs from simhash fingerprints: (id_a, id_b, hamming).
+
+    Bit-chunk banding (pigeonhole): any pair with hamming ≤ max_hamming <
+    chunks must agree on at least one of the ``chunks`` equal-width bit
+    slices, so a self-join on (chunk_idx, chunk_bits) generates a candidate
+    superset that LOSES NO true pair; candidates are then verified exactly
+    with bit_count(xor) — sub-quadratic where the all-pairs check is O(N²).
+
+    100 TB shape: the join key space is chunks × 2^(bits/chunks) buckets;
+    expected bucket size N/2^(bits/chunks) keeps the within-bucket product
+    bounded (for 64-bit fingerprints use chunks = max_hamming+1 wide slices
+    — the same math). Fingerprints are persisted before the self-join so
+    the vote aggregation runs once, not once per side.
+    """
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole needs max_hamming < chunks")
+    width = bits // chunks
+    from pyspark import StorageLevel
+
+    sim = simhash(df, text_col, id_col, bits, use_md5=use_md5).persist(StorageLevel.DISK_ONLY)
+    mask = (1 << width) - 1
+    chunked = sim.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cbits"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.cbits")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    out = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cbits") == F.col("b.cbits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming.alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out._yckg_persisted = [sim]  # callers/benches unpersist after materializing
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -47,7 +47,6 @@ _IRREGULAR = {
 _UNCOUNTABLE = {
     "series", "species", "news", "analysis", "basis", "diagnosis",
     "electronics", "fitness", "express", "access", "gas", "bus", "plus",
-    "classes",  # handled by -sses rule first; kept for clarity
 }
 
 

@@ -4,10 +4,11 @@
     double accumulation, JVM-side)
   * brute_force_topk       — exact top-k per query via crossJoin + window;
     the correctness baseline
-  * hyperplane_buckets / lsh_topk — random-hyperplane LSH: seeded,
-    deterministic bucket signatures; candidates only within matching
-    buckets (multi-probe by dropping one bit). The scale path: the
-    crossJoin disappears, work ∝ bucket sizes.
+  * hyperplane_buckets / lsh_topk — random-hyperplane LSH with
+    multi-table OR-amplification: seeded, deterministic bucket
+    signatures per table; a pair is a candidate if it collides in any
+    table, then the candidate set is exactly reranked. The scale path:
+    the crossJoin disappears, work ∝ n_tables × bucket sizes.
 
 This also re-expresses the reference's category-embedding similarity join
 (J5, category_mappings.py:55-92: dense cosine matrix + per-row argmax) as
@@ -95,20 +96,67 @@ def hyperplane_buckets(
 
 
 def lsh_topk(
-    emb: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
+    emb: DataFrame, dim: int, k: int = 5, n_planes: int = 8, n_tables: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: exact rerank within each hyperplane bucket.
+    """Approximate top-k: multi-table hyperplane LSH, exact rerank on the
+    OR-combined candidate set.
 
-    Recall/cost dial = n_planes. The join key is the bucket signature —
-    2^n_planes distinct values; AQE splits any hot bucket.
+    ``n_tables`` independent plane families (distinct seeds) each hash every
+    vector into one of 2^n_planes buckets; a pair is a candidate if it
+    collides in ANY table (OR-amplification — the same banding shape as
+    MinHash-LSH). Recall dial = n_tables up / n_planes down; cost bound:
+    expected within-bucket work per table is N²/2^n_planes, so size
+    n_planes ≈ log2(N/target_bucket) as the corpus grows — with n_tables
+    fixed this keeps total candidate volume ≈ n_tables · N · target_bucket
+    instead of the single-table N²/2^n_planes cliff.
+
+    Scale shape: only (id, bucket) pairs flow through the L-way explode and
+    the self-join; vectors are joined back exactly once per side for the
+    rerank. ``max_bucket`` (optional safety valve) deterministically caps
+    each bucket to its first ``max_bucket`` ids — bounds worst-case skew at
+    an explicit, logged recall cost; AQE additionally splits hot buckets.
+
+    Recall caveat: hyperplane collision probability per plane is
+    1 - θ/π, so high recall at sub-quadratic cost requires neighbors to be
+    actually close (clustered corpora — the realistic case, validated at
+    recall ≥ 0.9 in tests/test_similarity.py). On isotropic-noise vectors
+    (top-k neighbors near 60-70°) NO sub-quadratic scheme reaches 0.9;
+    use brute_force_topk there — that trade-off is inherent, not a knob.
     """
-    b = hyperplane_buckets(emb, dim, n_planes, id_col, vec_col)
-    a = b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
-    c = b.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
-    scored = (
+    bucket_arrays = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed=7 + 101 * t)
+        bits = [
+            F.when(
+                dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, "1"
+            ).otherwise("0")
+            for p in planes
+        ]
+        bucket_arrays.append(F.concat(F.lit(f"{t}:"), *bits))
+    # one pass computes all n_tables signatures, then explodes to L rows/vec
+    b = emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*bucket_arrays)).alias("bucket")
+    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("id")
+        b = b.withColumn("__r", F.row_number().over(wb)).filter(
+            F.col("__r") <= max_bucket
+        ).drop("__r")
+    a = b.select(F.col("id").alias("query_id"), "bucket")
+    c = b.select(F.col("id").alias("neighbor_id"), "bucket")
+    cand = (
         a.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(q, "query_id")
+        .join(n, "neighbor_id")
         .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
