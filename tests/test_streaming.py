@@ -56,3 +56,17 @@ def test_available_now_drains_and_is_exactly_once(spark, smoke_fixture_dir, tmp_
         .collect()
     }
     assert stream_set == batch_set
+
+    # compaction: batch dirs -> one globally-deduped canonical store
+    # (bucket x predicate layout), same triple set, no cross-batch dupes
+    from yckg_spark.materialize import compact_store, read_triples
+
+    cdir = str(tmp_path / "compacted")
+    result = compact_store(spark, out, cdir, n_buckets=4)
+    assert result["n_triples"] == n1  # one batch's worth: cross-batch dupes gone
+    compacted = read_triples(spark, cdir)
+    assert {"bucket", "predicate"} <= set(compacted.columns)
+    got = {
+        tuple(r) for r in compacted.select("subject", "predicate", "object").collect()
+    }
+    assert got == batch_set

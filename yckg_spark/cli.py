@@ -100,6 +100,17 @@ def cmd_export_nt(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Global dedup + canonical re-layout of any triples output (e.g. a
+    streaming run's batch dirs) — the Iceberg rewrite-data-files job."""
+    from yckg_spark.materialize import compact_store
+
+    spark = _spark(args)
+    result = compact_store(spark, args.input, args.output, n_buckets=args.n_buckets)
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from fixtures.generate import write_fixture
 
@@ -188,6 +199,12 @@ def make_parser() -> argparse.ArgumentParser:
     e.add_argument("--input", required=True, help="built triple-store dir")
     e.add_argument("--output", required=True)
     e.set_defaults(fn=cmd_export_nt)
+
+    cp = sub.add_parser("compact", help="global dedup + canonical store re-layout")
+    cp.add_argument("--input", required=True, help="dir containing a triples/ output")
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--n-buckets", type=int, default=8)
+    cp.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("synth", help="deterministic synthetic web_pages corpus")
     s.add_argument("--output", required=True)

@@ -23,7 +23,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from yckg_spark.operators.canonicalize import dedup_triples
+from yckg_spark.operators.canonicalize import DEDUP_KEY, dedup_triples
 from yckg_spark.operators.emit import emit_all
 from yckg_spark.sources.web_pages import parse_records
 
@@ -148,6 +148,33 @@ def run_resumable(
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "triples"))
+
+
+def compact_store(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> dict:
+    """Rewrite any triples output (a streaming run's ``batch=N`` dirs, a
+    resumable build, or a union of shards) as one globally-deduplicated
+    store in the canonical layout: ``bucket(subject)`` dirs × ``predicate``
+    partitions. The streaming path appends at-least-once-shaped batch dirs
+    (idempotent per batch but never cross-batch deduped); this is the
+    downstream compaction job that makes the store equivalent to a batch
+    build — the Iceberg rewrite-data-files maintenance action.
+
+    One shuffle (the dedup groupBy); the write is partitioned by the same
+    dedup output, so no second shuffle.
+    """
+    triples = spark.read.parquet(os.path.join(in_dir, "triples"))
+    extra = [c for c in triples.columns if c not in DEDUP_KEY + ["source_domain"]]
+    deduped = dedup_triples(triples.drop(*extra))
+    out = deduped.withColumn("bucket", F.pmod(F.hash("subject"), F.lit(n_buckets)))
+    tdir = os.path.join(out_dir, "triples")
+    out.write.mode("overwrite").partitionBy("bucket", "predicate").parquet(tdir)
+    n = spark.read.parquet(tdir).count()
+    return {"n_triples": n, "out": tdir, "n_buckets": n_buckets}
 
 
 # ---------------------------------------------------------------------------
