@@ -29,10 +29,13 @@ from pyspark.sql import functions as F
 ADDRESS_LEVELS = ("neighbourhood", "postcode", "city", "county", "state", "country")
 
 
-def coord_set_col(lon=F.col("longitude"), lat=F.col("latitude")):
+def coord_set_col(lon=None, lat=None):
     """``f"{round(lon,2)},{round(lat,2)}"`` as a Column (the snapshot's key
     convention; the reference builds the same shape from lat/lon at
-    reverse_coordinate_search.py:33-35)."""
+    reverse_coordinate_search.py:33-35). Defaults resolve lazily — Column
+    construction needs an active SparkContext, so no Columns at import."""
+    lon = F.col("longitude") if lon is None else lon
+    lat = F.col("latitude") if lat is None else lat
     return F.concat_ws(
         ",",
         F.bround(lon, 2).cast("string"),
