@@ -131,6 +131,29 @@ def test_store_predicate_partition_prunes_cq_scans(spark, pages, tmp_path):
     assert got == _full_set(spark, pages)
 
 
+def test_store_content_deterministic_across_parallelism(spark, pages, tmp_path):
+    """Two builds of the same corpus at different shuffle parallelism must
+    produce identical full-row store content INCLUDING the carried
+    source_domain column (dedup resolves non-key columns with min(), so no
+    arbitrary-survivor nondeterminism remains)."""
+    outs = []
+    for name, parts in (("kg_p4", 4), ("kg_p13", 13)):
+        out = str(tmp_path / name)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            run_resumable(spark, pages, out, n_buckets=3, use_extraction=False)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        rows = {
+            tuple(r)
+            for r in dedup_triples(read_triples(spark, out))
+            .select("subject", "predicate", "object", "is_literal", "datatype", "source_domain")
+            .collect()
+        }
+        outs.append(rows)
+    assert outs[0] == outs[1]
+
+
 def test_salted_agg_matches_plain(spark, pages):
     from pyspark.sql import functions as F
 
