@@ -686,12 +686,66 @@ WHERE common / (sa.n + sb.n - common) >= 0.02
 """
 
 
+_EMB_DIM = 64  # the embeddings fixture is float[64] at every SF (TESTDATA.md)
+
+
 def q_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k. Fully deterministic: the plane
+    family is LCG-generated (similarity._planes), so the DuckDB oracle
+    below replays the identical pipeline — bucket signatures, OR-combined
+    candidate join, exact cosine rerank — from the same inlined plane
+    constants."""
     from yckg_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()["embedding"])
-    return lsh_topk(e, dim=dim, k=3, n_planes=6)
+    out = lsh_topk(e, dim=_EMB_DIM, k=3, n_planes=6)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+def _lsh_topk_oracle_sql(dim: int = _EMB_DIM, k: int = 3, n_planes: int = 6,
+                         n_tables: int = 4) -> str:
+    """DuckDB replica of lsh_topk: the LCG hyperplanes are recomputed here
+    and inlined as double literals (repr() round-trips exactly), so bucket
+    signs, candidate pairs and the rerank match the Spark plan bit-for-bit
+    (cosine compared at round(4), the embed_topk-proven tolerance)."""
+    from yckg_spark.operators.similarity import _planes
+
+    buckets = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed=7 + 101 * t)
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        buckets.append(f"'{t}:' || {bits}")
+    bucket_list = ",\n      ".join(buckets)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, unnest([
+      {bucket_list}
+  ]) AS bucket
+  FROM e
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+),
+s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(q.v, n.v) AS cos
+  FROM cand
+  JOIN e q ON q.vec_id = query_id
+  JOIN e n ON n.vec_id = neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+"""
 
 
 # Shared DuckDB prelude mirroring text_analysis.normalize_text/tokens:
@@ -806,11 +860,12 @@ def q_geocode_join(spark, sf_dir):
         ((F.col("c_custkey") % 240) / F.lit(10.0) - 12.0).alias("longitude"),
     )
     n = _t(spark, sf_dir, "nation")
+    # snapshot key is "lat,lon" — the reference order (reverse_coordinate_search.py:33-35)
     geo = n.select(
         F.concat_ws(
             ",",
-            ((F.col("n_nationkey") % 240) / F.lit(10.0) - 12.0).cast("string"),
             ((F.col("n_nationkey") % 120) / F.lit(10.0) - 6.0).cast("string"),
+            ((F.col("n_nationkey") % 240) / F.lit(10.0) - 12.0).cast("string"),
         ).alias("coord_set"),
         F.concat(F.lit("NB-"), F.col("n_name")).alias("neighbourhood"),
         F.lpad(F.col("n_nationkey").cast("string"), 5, "0").alias("postcode"),
@@ -829,8 +884,8 @@ WITH biz AS (
          (c_custkey % 240) / 10.0 - 12.0 AS lon
   FROM customer
 ), geo AS (
-  SELECT CAST((n_nationkey % 240) / 10.0 - 12.0 AS VARCHAR) || ',' ||
-         CAST((n_nationkey % 120) / 10.0 - 6.0 AS VARCHAR) AS coord_set,
+  SELECT CAST((n_nationkey % 120) / 10.0 - 6.0 AS VARCHAR) || ',' ||
+         CAST((n_nationkey % 240) / 10.0 - 12.0 AS VARCHAR) AS coord_set,
          'NB-' || n_name AS neighbourhood,
          lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS postcode,
          n_name AS city,
@@ -841,7 +896,7 @@ WITH biz AS (
 )
 SELECT business_id, neighbourhood, postcode, city, county, state, country
 FROM biz LEFT JOIN geo
-  ON CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR) = geo.coord_set
+  ON CAST(lat AS VARCHAR) || ',' || CAST(lon AS VARCHAR) = geo.coord_set
 """
 
 
@@ -940,7 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        "lsh_topk": q_lsh_topk,  # rows-only: approximate float scoring, no SQL oracle
+        "lsh_topk": q_lsh_topk,
         "lang_id_pred": q_lang_id_pred,
         "quality_score": q_quality_score,
         "multimodal_features": q_multimodal_features,
@@ -983,4 +1038,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
         "kg_build": _ORACLE_KG_BUILD,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
+        "lsh_topk": _lsh_topk_oracle_sql(),
     }

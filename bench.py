@@ -41,6 +41,16 @@ def _count(df) -> int:
     return df.count()
 
 
+# stage-cut frames operators persist (LSH signatures etc.); wrappers here
+# register them via persisted_out=, and the bench loop drains after counting
+_PERSISTED: list = []
+
+
+def _drain_persisted() -> None:
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 def q_kg_fixture_build(spark, _sf_dir):
     from fixtures.generate import default_fixture
     from yckg_spark.operators.canonicalize import dedup_triples
@@ -59,7 +69,7 @@ def q_minhash_production(spark, sf_dir):
     from yckg_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, threshold=0.2)
+    return minhash_lsh_pairs(docs, threshold=0.2, persisted_out=_PERSISTED)
 
 
 def main() -> None:
@@ -82,18 +92,26 @@ def main() -> None:
 
     default_fixture("bench" if SF_DIR.endswith("0.1") else "smoke")
 
-    timings: dict[str, float] = {}
+    # Min of N interleaved reps: the sandbox host shows 1.2-3x wall-clock
+    # noise between identical runs (BENCH/BASELINE.md "Host noise"), so a
+    # single timed pass measures the host, not the plan. Reps are
+    # interleaved (rep loop outer, query loop inner) so a transient
+    # slowdown hits each query's reps at different times instead of
+    # poisoning one query's entire sample.
+    reps = int(os.environ.get("YCKG_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in bench_queries}
     counts: dict[str, int] = {}
-    for name, fn in bench_queries.items():
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        counts[name] = _count(df)
-        timings[name] = round(time.time() - t0, 3)
-        # release any stage-cut blocks the operator persisted (e.g. LSH
-        # signatures) so repeated invocations don't accumulate storage
-        for p in getattr(df, "_yckg_persisted", []):
-            p.unpersist()
+    for _rep in range(reps):
+        for name, fn in bench_queries.items():
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            counts[name] = _count(df)
+            samples[name].append(round(time.time() - t0, 3))
+            # release any stage-cut blocks the operator persisted (e.g. LSH
+            # signatures) so repeated invocations don't accumulate storage
+            _drain_persisted()
 
+    timings = {name: min(s) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
     kg_triples = counts["kg_build"] + counts["kg_fixture_build"]
     kg_secs = timings["kg_build"] + timings["kg_fixture_build"]
@@ -104,6 +122,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
+                "rep_samples": samples,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "triples_emitted": kg_triples,
                 "kg_triples_per_sec": round(kg_triples / kg_secs, 1) if kg_secs else None,

@@ -453,21 +453,22 @@ def snapshot_tables() -> dict[str, list[dict]]:
     t["wd_admin"] = admin
     t["wd_population"] = population
 
-    # Nominatim reverse-geocode snapshot keyed by rounded "lon,lat". The
-    # reference geocodes EVERY unique rounded coordinate_set it sees
-    # (reverse_coordinate_search.py:38-49), so the snapshot covers the full
-    # 0.01° grid that business jitter (±0.05°) can land in — one row per
-    # cell, all cells of a city sharing its address payload.
+    # Nominatim reverse-geocode snapshot keyed by rounded "lat,lon" (the
+    # reference's key order: reverse_coordinate_search.py:33-35 builds
+    # round_lat + ',' + round_lon). The reference geocodes EVERY unique
+    # rounded coordinate_set it sees (:38-49), so the snapshot covers the
+    # full 0.01° grid that business jitter (±0.05°) can land in — one row
+    # per cell, all cells of a city sharing its address payload.
     geocode = []
     for i, (city, code, state_name, lat, lon) in enumerate(CITIES):
         cells = set()
         for dlat in range(-6, 7):
             for dlon in range(-6, 7):
-                cells.add((round(lon + dlon / 100.0, 2), round(lat + dlat / 100.0, 2)))
-        for clon, clat in sorted(cells):
+                cells.add((round(lat + dlat / 100.0, 2), round(lon + dlon / 100.0, 2)))
+        for clat, clon in sorted(cells):
             geocode.append(
                 {
-                    "coord_set": f"{clon},{clat}",
+                    "coord_set": f"{clat},{clon}",
                     "neighbourhood": f"{city} Center",
                     "postcode": f"{19100 + i:05d}",
                     "city": city,
@@ -497,8 +498,8 @@ _PAGE_SCHEMA = pa.schema(
 
 def write_fixture(out_dir: str, seed: int = 42, n_business: int = 100) -> str:
     """Generate and write the full fixture set; idempotent via a marker."""
-    # v2: geocode snapshot covers the full rounded-coordinate grid
-    marker = os.path.join(out_dir, f"_OK_{seed}_{n_business}_v2")
+    # v3: geocode snapshot key is lat-first (reference parity)
+    marker = os.path.join(out_dir, f"_OK_{seed}_{n_business}_v3")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

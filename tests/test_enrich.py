@@ -135,7 +135,8 @@ class TestLocations:
         geo = {g["coord_set"]: g for g in snapshot_tables()["geocode"]}
         want = set()
         for b in biz_df.select("business_id", "latitude", "longitude").collect():
-            key = f"{round(b['longitude'], 2)},{round(b['latitude'], 2)}"
+            # lat-first, the reference key order (reverse_coordinate_search.py:33-35)
+            key = f"{round(b['latitude'], 2)},{round(b['longitude'], 2)}"
             hit = geo.get(key)
             want.add(
                 (b["business_id"],)

@@ -46,8 +46,9 @@ def main():
             df = fn(spark, SF_DIR)
             srows = df.collect()
             scols = df.columns
-            for p in getattr(df, "_yckg_persisted", []):
-                p.unpersist()
+            # dedicated session: drop any stage-cut blocks an operator
+            # persisted (LSH signatures etc.) before the next entry
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failed.append(name)

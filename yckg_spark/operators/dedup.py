@@ -97,13 +97,17 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 32, bands: int = 8, k: int = 3, threshold: float = 0.5,
-    use_md5: bool = False,
+    use_md5: bool = False, persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding + estimated Jaccard filter.
 
     band hash join keeps the candidate set sub-quadratic; the self-join is
     on (band_idx, band_hash) — a well-distributed key even for boilerplate-
     heavy corpora because the band hash mixes ``rows_per_band`` minhashes.
+
+    ``persisted_out``: the signature frame is persisted (stage cut before
+    the self-join); pass a list to receive it and ``unpersist()`` after
+    materializing the result — the same convention as ``parse_records``.
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, k, use_md5=use_md5)
@@ -113,6 +117,9 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.DISK_ONLY)
+    if persisted_out is not None:
+        persisted_out.append(sig)
+
     def band_hash(b: int) -> Column:
         joined = F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
         return _md5_32(joined) if use_md5 else F.xxhash64(joined)
@@ -142,11 +149,9 @@ def minhash_lsh_pairs(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
         / F.lit(float(len(_perm_consts(n_hashes))))
     )
-    out = cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
-    out._yckg_persisted = [sig]  # callers/benches unpersist after materializing
-    return out
 
 
 def simhash(
@@ -183,6 +188,7 @@ def simhash(
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32,
     chunks: int = 4, max_hamming: int = 3, use_md5: bool = False,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup pairs from simhash fingerprints: (id_a, id_b, hamming).
 
@@ -204,6 +210,8 @@ def simhash_pairs(
     from pyspark import StorageLevel
 
     sim = simhash(df, text_col, id_col, bits, use_md5=use_md5).persist(StorageLevel.DISK_ONLY)
+    if persisted_out is not None:
+        persisted_out.append(sim)
     mask = (1 << width) - 1
     chunked = sim.select(
         F.col(id_col).alias("id"),
@@ -224,7 +232,7 @@ def simhash_pairs(
     ).select("id", "simhash", "cc.chunk", "cc.cbits")
     a, b = chunked.alias("a"), chunked.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    out = (
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -237,8 +245,6 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    out._yckg_persisted = [sim]  # callers/benches unpersist after materializing
-    return out
 
 
 def ngram_jaccard_pairs(

@@ -29,17 +29,19 @@ from pyspark.sql import functions as F
 ADDRESS_LEVELS = ("neighbourhood", "postcode", "city", "county", "state", "country")
 
 
-def coord_set_col(lon=None, lat=None):
-    """``f"{round(lon,2)},{round(lat,2)}"`` as a Column (the snapshot's key
-    convention; the reference builds the same shape from lat/lon at
-    reverse_coordinate_search.py:33-35). Defaults resolve lazily — Column
-    construction needs an active SparkContext, so no Columns at import."""
-    lon = F.col("longitude") if lon is None else lon
+def coord_set_col(lat=None, lon=None):
+    """``f"{round(lat,2)},{round(lon,2)}"`` as a Column — LAT FIRST, the
+    reference's key convention (reverse_coordinate_search.py:33-35 builds
+    ``round_lat + ',' + round_lon``, the "lat,lon" order Nominatim reverse
+    expects), so a reference-format geocode snapshot joins without
+    remapping. Defaults resolve lazily — Column construction needs an
+    active SparkContext, so no Columns at import."""
     lat = F.col("latitude") if lat is None else lat
+    lon = F.col("longitude") if lon is None else lon
     return F.concat_ws(
         ",",
-        F.bround(lon, 2).cast("string"),
         F.bround(lat, 2).cast("string"),
+        F.bround(lon, 2).cast("string"),
     )
 
 
