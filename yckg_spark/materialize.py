@@ -86,16 +86,28 @@ def run_resumable(
     else:
         bucketed = pages.withColumn("__bucket", F.pmod(F.hash("url"), F.lit(n_buckets)))
         bcol = "__bucket"
+    from pyspark.sql import Observation
+
     commits = 0
     metrics_all: list[dict] = []
     for b in range(n_buckets):
         if b in done or (only_buckets is not None and b not in only_buckets):
             continue
         subset = bucketed.filter(F.col(bcol) == b).drop(bcol)
+        # Commit metrics ride the write jobs as Observations (CollectMetrics
+        # nodes) instead of re-reading the written partitions afterwards —
+        # three saved actions per commit; at 100 TB the old way re-read
+        # every written partition once. obs_pages sits on the raw bucket
+        # subset (pre lang-filter, the page count the manifest records);
+        # filters don't push through CollectMetrics, but this scan read the
+        # whole bucket for the separate count() before, so net I/O shrinks.
+        obs_pages, obs_triples, obs_errors = Observation(), Observation(), Observation()
+        subset = subset.observe(obs_pages, F.count(F.lit(1)).alias("n"))
         persisted: list[DataFrame] = []
         records = parse_records(subset, use_extraction=use_extraction, persisted_out=persisted)
         triples, errors = emit_all(records)
-        triples = dedup_triples(triples)
+        triples = dedup_triples(triples).observe(obs_triples, F.count(F.lit(1)).alias("n"))
+        errors = errors.observe(obs_errors, F.count(F.lit(1)).alias("n"))
 
         t0 = time.time()
         tdir = os.path.join(out_dir, "triples", f"bucket={b}")
@@ -109,9 +121,9 @@ def run_resumable(
         triples.write.mode("overwrite").partitionBy("predicate").parquet(tdir)
         errors.write.mode("overwrite").parquet(edir)
         t_write = time.time() - t0
-        n_triples = spark.read.parquet(tdir).count()
-        n_errors = spark.read.parquet(edir).count()
-        n_pages = subset.count()
+        n_triples = obs_triples.get["n"]
+        n_errors = obs_errors.get["n"]
+        n_pages = obs_pages.get["n"]
         elapsed = time.time() - t0
         t_counts = elapsed - t_write
 
