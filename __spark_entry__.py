@@ -917,6 +917,70 @@ FROM m, range(8) t(i)
 """
 
 
+def q_mapping_pr(spark, sf_dir):
+    """§3.3 evaluation: precision/recall of a predicted (category →
+    schema_type) mapping against a verified ground-truth table — the
+    reference scores its semantic mappings against 200 manually-verified
+    pairs (README.md:57-58). Pred/gt are derived deterministically from
+    ``part`` so DuckDB can replicate the full P/R arithmetic: truth =
+    distinct (brand, type); predictions = the small-size subset
+    (correct), mangled types for large sizes (wrong-in-universe), and
+    a 'Z_' brand universe the truth never audits (excluded from
+    precision)."""
+    from yckg_spark.operators.mapping_discovery import evaluate_mappings
+
+    part = _t(spark, sf_dir, "part")
+    cat = F.col("p_brand").alias("category")
+    gt = part.select(cat, F.col("p_type").alias("schema_type")).distinct()
+    pred = (
+        part.filter(F.col("p_size") <= 20)
+        .select(cat, F.col("p_type").alias("schema_type"))
+        .unionByName(
+            part.filter(F.col("p_size") > 45).select(
+                cat, F.concat(F.lit("X_"), F.col("p_type")).alias("schema_type")
+            )
+        )
+        .unionByName(
+            part.select(
+                F.concat(F.lit("Z_"), F.col("p_brand")).alias("category"),
+                F.col("p_type").alias("schema_type"),
+            )
+        )
+        .distinct()
+    )
+    return evaluate_mappings(pred, gt)
+
+
+_ORACLE_MAPPING_PR = """
+WITH gt AS (
+  SELECT DISTINCT p_brand AS category, p_type AS schema_type FROM part
+), pred AS (
+  SELECT DISTINCT p_brand AS category, p_type AS schema_type
+  FROM part WHERE p_size <= 20
+  UNION
+  SELECT DISTINCT p_brand, 'X_' || p_type FROM part WHERE p_size > 45
+  UNION
+  SELECT DISTINCT 'Z_' || p_brand, p_type FROM part
+), gt_cats AS (
+  SELECT DISTINCT category FROM gt
+), p AS (
+  SELECT pred.category, pred.schema_type FROM pred JOIN gt_cats USING (category)
+), tp AS (
+  SELECT p.category, p.schema_type FROM p JOIN gt USING (category, schema_type)
+), c AS (
+  SELECT (SELECT COUNT(*) FROM gt) AS n_gt,
+         (SELECT COUNT(*) FROM p) AS n_pred,
+         (SELECT COUNT(*) FROM tp) AS tp
+)
+SELECT n_gt, n_pred, tp,
+       round(CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END, 6)
+         AS precision,
+       round(CASE WHEN n_gt > 0 THEN CAST(tp AS DOUBLE) / n_gt ELSE 0.0 END, 6)
+         AS recall
+FROM c
+"""
+
+
 def q_kg_build(spark, sf_dir):
     """Full KG pipeline over pages synthesized from this sf_dir."""
     from yckg_spark.operators.canonicalize import dedup_triples
@@ -999,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_pred": q_lang_id_pred,
         "quality_score": q_quality_score,
         "multimodal_features": q_multimodal_features,
+        "mapping_pr": q_mapping_pr,
         "kg_build": q_kg_build,
     }
 
@@ -1033,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_pred": _ORACLE_LANG_ID,
         "quality_score": _ORACLE_QUALITY,
         "multimodal_features": _ORACLE_MULTIMODAL,
+        "mapping_pr": _ORACLE_MAPPING_PR,
         "geocode_join": _ORACLE_GEOCODE,
         "simhash": _ORACLE_SIMHASH,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,

@@ -325,6 +325,19 @@ def snapshot_tables() -> dict[str, list[dict]]:
         {"YelpCategory": "Parking", "SchemaType": "['ParkingFacility']"},
     ]
 
+    # Frozen ground truth for the discovery P/R evaluation — the reference
+    # ships ground_truth_yelp_category_schema_mappings.csv (200 manually
+    # verified pairs, README.md:57-58) and scores its semantic mapping
+    # against it; this is our fixture-scale equivalent: every verified
+    # mapping pair above, flattened to (category, schema_type) rows.
+    import ast as _ast
+
+    t["ground_truth_category_mappings"] = [
+        {"category": m["YelpCategory"], "schema_type": s}
+        for m in t["category_schema_mappings"]
+        for s in _ast.literal_eval(m["SchemaType"])
+    ]
+
     t["manually_split_categories"] = [
         {"yelp_category": "Beauty & Spas", "split_yelp_category": "Beauty, Spas"},
         {"yelp_category": "Health & Medical", "split_yelp_category": "Health, Medical"},
@@ -498,8 +511,8 @@ _PAGE_SCHEMA = pa.schema(
 
 def write_fixture(out_dir: str, seed: int = 42, n_business: int = 100) -> str:
     """Generate and write the full fixture set; idempotent via a marker."""
-    # v3: geocode snapshot key is lat-first (reference parity)
-    marker = os.path.join(out_dir, f"_OK_{seed}_{n_business}_v3")
+    # v4: lat-first geocode keys + ground-truth mapping table
+    marker = os.path.join(out_dir, f"_OK_{seed}_{n_business}_v4")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

@@ -54,6 +54,25 @@ def test_ekg_cq2_resolution_and_population_flag(spark, snaps):
     assert "Nowhere" not in got  # unresolvable pair drops out, like the reference
 
 
+def test_ekg_cq2_containment_join_is_hash_not_nested_loop(spark, snaps):
+    """The label-containment join is blocked on a leading-slice equi-key
+    (LIKE verified as a residual), so the physical plan is a
+    BroadcastHashJoin — no nested-loop scan of the label dim per pair."""
+    pairs = spark.createDataFrame(
+        [("Philadelphia", "Pennsylvania")], ["city_name", "state_name"]
+    )
+    plan = (
+        ekg_cq2_city_state_resolution(
+            pairs, snaps["wd_labels"], snaps["wd_entities"],
+            snaps["wd_admin"], snaps["wd_population"],
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ekg_cq3_cities_per_state(spark, snaps):
     got = {
         r["state_label"]: r["num_cities"]

@@ -108,6 +108,36 @@ def test_bucketed_build_matches_flat_and_prunes(spark, pages, tmp_path):
     assert got == _full_set(spark, pages)
 
 
+def test_trusted_bucket_column_guard(spark, pages, tmp_path):
+    """A discovered bucket column is kept only when the sidecar spec exists
+    AND matches the requested count; a missing or mismatched spec drops it
+    so the build recomputes buckets (no silently-skipped buckets)."""
+    import os
+
+    from yckg_spark.sources.web_pages import (
+        bucket_spec_path,
+        read_bucket_spec,
+        read_web_pages,
+        with_trusted_bucket,
+        write_bucketed_pages,
+    )
+
+    bdir = str(tmp_path / "bucketed_guard")
+    write_bucketed_pages(pages, bdir, n_buckets=4)
+    bpages = read_web_pages(spark, bdir)
+
+    spec = read_bucket_spec(bdir)
+    assert "bucket" in with_trusted_bucket(bpages, spec, 4).columns
+    # requested count disagrees with the layout -> recompute
+    assert "bucket" not in with_trusted_bucket(bpages, spec, 8).columns
+    # sidecar lost (parquet-only copy) but bucket= dirs discovered -> recompute
+    os.remove(bucket_spec_path(bdir))
+    assert read_bucket_spec(bdir) is None
+    assert "bucket" not in with_trusted_bucket(bpages, None, 4).columns
+    # flat corpus is untouched
+    assert "bucket" not in with_trusted_bucket(pages, None, 4).columns
+
+
 def test_store_predicate_partition_prunes_cq_scans(spark, pages, tmp_path):
     """The triple store is partitioned by predicate under each bucket; a CQ
     predicate filter must land in PartitionFilters (pruned scan), not a

@@ -47,15 +47,16 @@ def _spark(args):
 
 def cmd_build(args) -> int:
     from yckg_spark.materialize import run_resumable
-    from yckg_spark.sources.web_pages import read_bucket_spec, read_web_pages
+    from yckg_spark.sources.web_pages import (
+        read_bucket_spec,
+        read_web_pages,
+        with_trusted_bucket,
+    )
 
     spark = _spark(args)
-    pages = read_web_pages(spark, args.input)
-    spec = read_bucket_spec(args.input)
-    if spec is not None and spec["n_buckets"] != args.n_buckets:
-        # physical layout disagrees with the requested bucket count: the
-        # partition column can't be trusted, fall back to recomputing
-        pages = pages.drop("bucket")
+    pages = with_trusted_bucket(
+        read_web_pages(spark, args.input), read_bucket_spec(args.input), args.n_buckets
+    )
     t0 = time.time()
     result = run_resumable(
         spark,
@@ -160,6 +161,7 @@ def cmd_discover_mappings(args) -> int:
 
     from yckg_spark.operators.mapping_discovery import (
         discover_category_mappings,
+        evaluate_mappings,
         grouped_mappings,
     )
 
@@ -170,7 +172,15 @@ def cmd_discover_mappings(args) -> int:
     types = spark.read.parquet(args.types).select(F.col(args.label_col).alias("label"))
     m = discover_category_mappings(cats, types, threshold=args.threshold)
     grouped_mappings(m).write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"mappings": m.count(), "output": args.output}))
+    out = {"mappings": m.count(), "output": args.output}
+    if args.ground_truth:
+        gt = spark.read.parquet(args.ground_truth)
+        row = evaluate_mappings(m, gt).collect()[0]
+        out["evaluation"] = {
+            "n_gt": row["n_gt"], "n_pred": row["n_pred"], "tp": row["tp"],
+            "precision": row["precision"], "recall": row["recall"],
+        }
+    print(json.dumps(out))
     return 0
 
 
@@ -233,6 +243,9 @@ def make_parser() -> argparse.ArgumentParser:
     dm.add_argument("--types", required=True, help="parquet of schema.org types")
     dm.add_argument("--label-col", default="label")
     dm.add_argument("--threshold", type=float, default=0.4)
+    dm.add_argument("--ground-truth", default=None,
+                    help="parquet of verified (category, schema_type) pairs; "
+                         "adds precision/recall to the output JSON")
     dm.add_argument("--output", required=True)
     dm.set_defaults(fn=cmd_discover_mappings)
     return p

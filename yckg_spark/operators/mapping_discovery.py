@@ -95,7 +95,7 @@ def singularize_udf(s: pd.Series) -> pd.Series:
 # Deterministic embedding stand-in (STUB for the sentence encoder)
 # ---------------------------------------------------------------------------
 
-EMBED_DIM = 64
+EMBED_DIM = 256
 
 
 def _embed_one(text: str, dim: int) -> np.ndarray:
@@ -105,7 +105,15 @@ def _embed_one(text: str, dim: int) -> np.ndarray:
         g = t[i : i + 3]
         # fixed-width byte hash (Python's builtin hash() is salted per process)
         h = int.from_bytes(g.encode("utf-8", "ignore").ljust(4, b"\0")[:4], "little")
-        v[(h * 2654435761) % dim] += 1.0
+        # fmix-style avalanche: a bare multiplicative hash mod a power-of-two
+        # dim keeps only the low bits, which depend only on the gram's first
+        # byte-and-a-half — grams sharing a first letter all collided, so
+        # cosine measured initials, not lexical overlap
+        h = (h * 2654435761) & 0xFFFFFFFF
+        h ^= h >> 15
+        h = (h * 2246822519) & 0xFFFFFFFF
+        h ^= h >> 13
+        v[h % dim] += 1.0
     n = np.linalg.norm(v)
     return v / n if n else v
 
@@ -189,4 +197,39 @@ def grouped_mappings(mappings: DataFrame) -> DataFrame:
     """category → [schema types] list (A3; category_mappings.py:101)."""
     return mappings.groupBy("category").agg(
         F.sort_array(F.collect_list("schema_type")).alias("schema_types")
+    )
+
+
+def evaluate_mappings(pred: DataFrame, ground_truth: DataFrame) -> DataFrame:
+    """Precision/recall of discovered (category, schema_type) pairs against
+    a manually-verified ground-truth table — the reference's evaluation
+    method (README.md:57-58: 200 verified pairs scored for precision and
+    recall; the CSV itself isn't shipped, so the fixture freezes its own).
+
+    Precision is measured over predictions for categories the ground truth
+    covers: a mapping for a category outside the audited universe is
+    unknowable, not wrong. Recall is over all ground-truth pairs (a
+    multi-type truth like 'Beauty & Spas' → {BeautySalon, DaySpa} charges
+    the top-1 discovery for the types it cannot emit — honest, like the
+    reference). One row: (n_gt, n_pred, tp, precision, recall).
+    """
+    gt = ground_truth.select("category", "schema_type").distinct()
+    gt_cats = gt.select("category").distinct()
+    p = pred.select("category", "schema_type").join(F.broadcast(gt_cats), "category")
+    tp = p.join(F.broadcast(gt), ["category", "schema_type"])
+    counts = (
+        gt.agg(F.count(F.lit(1)).alias("n_gt"))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_pred")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("tp")))
+    )
+    return counts.select(
+        "n_gt",
+        "n_pred",
+        "tp",
+        F.round(
+            F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0), 6
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_gt") > 0, F.col("tp") / F.col("n_gt")).otherwise(0.0), 6
+        ).alias("recall"),
     )

@@ -66,11 +66,38 @@ def ekg_cq2_city_state_resolution(
     )
     member = hop1.unionByName(hop2).distinct()
 
-    cand = (
-        pairs.join(
-            F.broadcast(labels),
-            F.expr("lower(search_label) LIKE concat('%', lower(city_name), '%')"),
+    # Label containment as a HASH join, not a nested loop: any substring
+    # match implies the city name's leading slice (up to 3 chars) occurs
+    # among the label's 1/2/3-char slices, so equi-joining on that blocking
+    # key and verifying the LIKE as a residual is exactly equivalent to the
+    # raw containment join — but stays a BroadcastHashJoin if the label dim
+    # ever outgrows the broadcast threshold, instead of degrading to a
+    # nested-loop scan per pair. Slices are distinct per label, so each
+    # (pair, label) combination joins at most once — no dedup needed.
+    lower_label = F.lower(F.col("search_label"))
+
+    def _slices_of_len(n: int):
+        # NB: the transform lambda must take exactly one arg — a second
+        # parameter would be bound to the array index by PySpark
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(lower_label) - n + 1, F.lit(1))),
+            lambda i: lower_label.substr(i, F.lit(n)),
         )
+
+    slices = F.array_distinct(
+        F.flatten(F.array(*[_slices_of_len(n) for n in (1, 2, 3)]))
+    )
+    labels_sliced = labels.withColumn("__slice", F.explode(slices))
+    keyed_pairs = pairs.withColumn(
+        "__k", F.substring(F.lower(F.col("city_name")), 1, 3)
+    )
+    cand = (
+        keyed_pairs.join(
+            F.broadcast(labels_sliced),
+            (F.col("__k") == F.col("__slice"))
+            & F.expr("lower(search_label) LIKE concat('%', lower(city_name), '%')"),
+        )
+        .drop("__k", "__slice")
         .join(F.broadcast(cities), "qid")
         .join(member, F.col("qid") == F.col("child_qid"))
         .join(F.broadcast(states), F.col("parent_qid") == F.col("state_qid"))

@@ -22,6 +22,7 @@ SNAPSHOT_NAMES = (
     "wd_admin",
     "wd_population",
     "geocode",
+    "ground_truth_category_mappings",
 )
 
 

@@ -59,6 +59,20 @@ def read_bucket_spec(path: str) -> dict | None:
         return json.load(fh)
 
 
+def with_trusted_bucket(
+    pages: DataFrame, spec: dict | None, n_buckets: int
+) -> DataFrame:
+    """Keep a discovered ``bucket`` partition column ONLY when the sidecar
+    spec exists and matches the requested bucket count. ``bucket=`` dirs
+    with a missing spec (e.g. a copy that moved only the parquet files)
+    mean the layout's bucket count is unknown — drop the column so the
+    build recomputes it from url, instead of silently never building
+    buckets >= the layout's true count."""
+    if "bucket" in pages.columns and (spec is None or spec["n_buckets"] != n_buckets):
+        return pages.drop("bucket")
+    return pages
+
+
 def write_bucketed_pages(pages: DataFrame, path: str, n_buckets: int) -> None:
     """Write the corpus partitioned by ``bucket = pmod(hash(url), n)`` —
     the sandbox emulation of an Iceberg table partitioned by
