@@ -537,6 +537,27 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Exact cosine near-duplicate pairs (the verification stage of the
+    embedding near-dup path; candidates come from hyperplane LSH at scale).
+    Threshold 0.4 sits 1.2e-4 clear of the nearest pair cosine at sf0.01,
+    so the double-precision Spark/DuckDB results select identical pairs."""
+    from yckg_spark.operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(e, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+_ORACLE_EMB_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(cos, 4) AS cosine FROM p WHERE cos >= 0.4
+"""
+
+
 # --- rows-only queries (non-SQL-expressible; weaker driver check) -----------
 
 
@@ -1054,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_scores": q_lang_scores,
         "fingerprint_md5": q_fingerprint_md5,
         "embed_topk": q_embed_topk,
+        "embedding_neardup": q_embedding_neardup,
         "geocode_join": q_geocode_join,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1094,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_scores": _oracle_lang_scores(),
         "fingerprint_md5": _ORACLE_FP,
         "embed_topk": _ORACLE_TOPK_EMB,
+        "embedding_neardup": _ORACLE_EMB_NEARDUP,
         "ngram_jaccard": _ORACLE_NGRAM,
         "lang_id_pred": _ORACLE_LANG_ID,
         "quality_score": _ORACLE_QUALITY,
