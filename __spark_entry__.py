@@ -558,6 +558,24 @@ SELECT id_a, id_b, ROUND(cos, 4) AS cosine FROM p WHERE cos >= 0.4
 """
 
 
+def q_windowed_events(spark, sf_dir):
+    """Tumbling event-time window rollup (streaming/windowed.py) run in
+    batch mode — the same plan the watermarked stream executes, so the
+    oracle checks the streaming operator's aggregation semantics."""
+    from yckg_spark.streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_WINDOWED = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- rows-only queries (non-SQL-expressible; weaker driver check) -----------
 
 
@@ -1076,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": q_fingerprint_md5,
         "embed_topk": q_embed_topk,
         "embedding_neardup": q_embedding_neardup,
+        "windowed_events": q_windowed_events,
         "geocode_join": q_geocode_join,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1117,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": _ORACLE_FP,
         "embed_topk": _ORACLE_TOPK_EMB,
         "embedding_neardup": _ORACLE_EMB_NEARDUP,
+        "windowed_events": _ORACLE_WINDOWED,
         "ngram_jaccard": _ORACLE_NGRAM,
         "lang_id_pred": _ORACLE_LANG_ID,
         "quality_score": _ORACLE_QUALITY,
