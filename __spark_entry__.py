@@ -558,6 +558,21 @@ SELECT id_a, id_b, ROUND(cos, 4) AS cosine FROM p WHERE cos >= 0.4
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN at full probe (nprobe == n_cells): the codebook
+    training, cell assignment, probe join, and rerank all execute, and the
+    result is provably identical to exact brute-force top-k — so the same
+    SQL oracle value-checks the whole IVF pipeline. Pruned-probe recall is
+    covered in tests/test_similarity.py."""
+    from yckg_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(e, e.filter(F.col("vec_id") < 20), k=3, n_cells=8, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def q_windowed_events(spark, sf_dir):
     """Tumbling event-time window rollup (streaming/windowed.py) run in
     batch mode — the same plan the watermarked stream executes, so the
@@ -1095,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embedding_neardup": q_embedding_neardup,
         "windowed_events": q_windowed_events,
+        "ivf_topk": q_ivf_topk,
         "geocode_join": q_geocode_join,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1137,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": _ORACLE_TOPK_EMB,
         "embedding_neardup": _ORACLE_EMB_NEARDUP,
         "windowed_events": _ORACLE_WINDOWED,
+        "ivf_topk": _ORACLE_TOPK_EMB,
         "ngram_jaccard": _ORACLE_NGRAM,
         "lang_id_pred": _ORACLE_LANG_ID,
         "quality_score": _ORACLE_QUALITY,

@@ -88,3 +88,45 @@ def test_lsh_max_bucket_cap_is_deterministic(spark, emb):
         for r in lsh_topk(emb, dim=64, k=3, n_planes=4, n_tables=2, max_bucket=32).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    """nprobe == n_cells scores every pair exactly once -> identical to the
+    exact baseline (the IVF machinery — training, assignment, probe join,
+    rerank — introduces zero error when nothing is pruned)."""
+    from yckg_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    qs = emb.filter("vec_id < 30")
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in brute_force_topk(emb, qs, k=4).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in ivf_topk(emb, qs, k=4, n_cells=8, nprobe=8).collect()
+    )
+    assert ivf == exact
+
+
+def test_ivf_recall_on_clustered(spark, clustered):
+    """Pruned probe (nprobe 4 of 32 cells -> ~1/8 of rerank work) keeps
+    recall >= 0.9 on planted-cluster data — neighbors share a cell."""
+    from yckg_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    k = 5
+    exact = _topk_sets(brute_force_topk(clustered, clustered, k=k).collect())
+    approx = _topk_sets(
+        ivf_topk(clustered, clustered, k=k, n_cells=32, nprobe=4).collect()
+    )
+    hit = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hit / sum(len(v) for v in exact.values())
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_ivf_deterministic(spark, emb):
+    from yckg_spark.operators.similarity import ivf_topk
+
+    qs = emb.filter("vec_id < 10")
+    a = sorted(tuple(r) for r in ivf_topk(emb, qs, k=3, n_cells=8, nprobe=2).collect())
+    b = sorted(tuple(r) for r in ivf_topk(emb, qs, k=3, n_cells=8, nprobe=2).collect())
+    assert a == b and len(a) > 0
