@@ -707,6 +707,64 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Connected components over the simhash near-dup pair graph:
+    (doc_id, cluster_id=min id in component). Spark side is min-label
+    propagation with pointer jumping; the oracle recomputes the identical
+    pairs brute-force and walks reachability with a recursive CTE."""
+    from yckg_spark.operators.dedup import neardup_clusters, simhash_pairs
+
+    pairs = simhash_pairs(
+        _t(spark, sf_dir, "documents"), chunks=4, max_hamming=3, use_md5=True
+    )
+    return neardup_clusters(pairs)
+
+
+def q_dedup_representatives(spark, sf_dir):
+    """Keep-one-per-near-dup-component: doc ids that survive dedup
+    (min-id representative of each simhash component + all singletons)."""
+    from yckg_spark.operators.dedup import dedup_keep_representatives, simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, chunks=4, max_hamming=3, use_md5=True)
+    return dedup_keep_representatives(docs, pairs).select("doc_id")
+
+
+def _cc_cluster_sql() -> str:
+    """Recursive-CTE connected components over the brute-force simhash
+    pairs: clusters(node, cluster_id) with cluster_id = min reachable id."""
+    return (
+        _simhash_fp_sql().replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + """
+, prs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), edges AS (
+  SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs
+), reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
+), clusters AS (
+  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+)"""
+    )
+
+
+_ORACLE_NEARDUP_CLUSTERS = _cc_cluster_sql() + """
+SELECT node AS doc_id, cluster_id FROM clusters
+"""
+
+_ORACLE_DEDUP_REPRESENTATIVES = _cc_cluster_sql() + """
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN (SELECT node FROM clusters WHERE node <> cluster_id) dup
+  ON d.doc_id = dup.node
+WHERE dup.node IS NULL
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from yckg_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1115,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "neardup_clusters": q_neardup_clusters,
+        "dedup_representatives": q_dedup_representatives,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_topk": q_lsh_topk,
         "lang_id_pred": q_lang_id_pred,
@@ -1162,6 +1222,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_join": _ORACLE_GEOCODE,
         "simhash": _ORACLE_SIMHASH,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
+        "neardup_clusters": _ORACLE_NEARDUP_CLUSTERS,
+        "dedup_representatives": _ORACLE_DEDUP_REPRESENTATIVES,
         "kg_build": _ORACLE_KG_BUILD,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),

@@ -124,3 +124,46 @@ def test_embedding_neardup(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, threshold=0.95).collect()}
     assert pairs == {("a", "b")}
+
+
+def test_neardup_clusters_components(spark):
+    from yckg_spark.operators.dedup import neardup_clusters
+
+    # two components {1,2,3} and {10,11}, plus a long chain 20..27 that
+    # forces multiple propagation rounds (diameter 7, log-rounds w/ jumping)
+    pairs = [(1, 2), (2, 3), (10, 11)] + [(i, i + 1) for i in range(20, 27)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        (r["doc_id"], r["cluster_id"]) for r in neardup_clusters(df).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)} | {
+        (i, 20) for i in range(20, 28)
+    }
+    assert got == want
+
+
+def test_neardup_clusters_edge_order_invariant(spark):
+    from yckg_spark.operators.dedup import neardup_clusters
+
+    # same graph with reversed/unordered endpoints and duplicate pairs
+    pairs = [(3, 2), (1, 2), (2, 3), (27, 26)] + [(i + 1, i) for i in range(20, 27)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        (r["doc_id"], r["cluster_id"]) for r in neardup_clusters(df).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1)} | {(i, 20) for i in range(20, 28)}
+    assert got == want
+
+
+def test_dedup_keep_representatives(spark):
+    from yckg_spark.operators.dedup import dedup_keep_representatives
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect()
+    )
+    # 2,3 fold into 1; 6 folds into 5; 0,4,7 untouched singletons
+    assert kept == [0, 1, 4, 5, 7]

@@ -10,6 +10,9 @@ All of these run over a ``documents(doc_id, text, ...)``-shaped table.
   * ngram_jaccard_pairs  — exact set-similarity join on shingles (use after
     LSH candidate generation at scale; exact only at small N)
   * embedding_neardup_pairs — cosine near-dup over an embedding column
+  * neardup_clusters / dedup_keep_representatives — connected components
+    over the pair graph (min-label propagation + pointer jumping) and
+    keep-one-per-component selection
 
 Everything is pure Column expressions (whole-stage codegen); no Python in
 the hot path.
@@ -294,3 +297,76 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id, cluster_id)
+    with cluster_id = the smallest doc id in the component.
+
+    Near-dup pairs (from minhash/simhash/embedding banding) are transitive
+    in intent — A~B and B~C means one document should survive of the three —
+    so the keep-one-per-group decision needs components, not pairs.
+
+    Distributed shape: min-label propagation with pointer jumping
+    (label <- label(label) each round), the standard Spark CC recipe.
+    Labels are monotonically non-increasing, so the jump is always valid;
+    propagation alone needs O(diameter) rounds, the jump cuts that to
+    O(log diameter) — near-dup components are tiny (dup clusters), so this
+    is 2-3 rounds in practice. Each round shuffles only (node, label)
+    pairs bounded by the edge count; localCheckpoint truncates lineage so
+    plans do not grow across rounds. Only nodes that appear in some pair
+    are returned (singletons are trivially their own cluster).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "vn"), F.col("v") == F.col("vn"))
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = labels.join(nbr_min, labels["node"] == nbr_min["u"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        ptr = prop.select(F.col("node").alias("pn"), F.col("label").alias("plabel"))
+        jumped = (
+            prop.join(ptr, prop["label"] == ptr["pn"], "left")
+            .select("node", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        labels = jumped
+        if changed.isEmpty():
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_representatives(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Keep exactly one document per near-dup component (the min-id member);
+    documents in no pair pass through untouched. Anti-join on the non-
+    representative member set — the big table is never shuffled on text."""
+    dupes = (
+        neardup_clusters(pairs, id_a, id_b)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(dupes, id_col, "left_anti")
