@@ -20,6 +20,8 @@ export-nt   gzip N-Triples export of a built triple store (reference's
 synth       deterministic synthetic web_pages corpus (fixtures) for
             benchmarking — no external data
 query       run one of the CQ1-16 competency questions over a built store
+dedup       document dedup: exact / minhash-LSH / simhash pair generation →
+            connected components → keep one representative per component
 """
 
 from __future__ import annotations
@@ -156,6 +158,52 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """End-to-end document dedup: pair generation (exact hash / minhash-LSH
+    / simhash banding) → connected components → keep one representative per
+    component → deduped parquet. The large table is only ever anti-joined
+    on ids; pair generation is bucketed (never all-pairs)."""
+    from yckg_spark.operators.dedup import (
+        dedup_keep_representatives,
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    persisted: list = []
+    if args.method == "exact":
+        kept = exact_dedup(docs, text_col=args.text_col, id_col=args.id_col)
+        n_pairs = None
+    else:
+        if args.method == "minhash":
+            pairs = minhash_lsh_pairs(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                threshold=args.threshold, persisted_out=persisted,
+            )
+        else:  # simhash
+            pairs = simhash_pairs(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                max_hamming=args.max_hamming, persisted_out=persisted,
+            )
+        pairs = pairs.select("id_a", "id_b").persist()
+        n_pairs = pairs.count()
+        kept = dedup_keep_representatives(docs, pairs, id_col=args.id_col)
+    kept.write.mode("overwrite").parquet(args.output)
+    for df in persisted + ([pairs] if n_pairs is not None else []):
+        df.unpersist()
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "method": args.method, "docs_in": n_in, "docs_kept": n_out,
+        "removed": n_in - n_out, "neardup_pairs": n_pairs,
+        "seconds": round(time.time() - t0, 3), "output": args.output,
+    }))
+    return 0
+
+
 def cmd_discover_mappings(args) -> int:
     from pyspark.sql import functions as F
 
@@ -236,6 +284,18 @@ def make_parser() -> argparse.ArgumentParser:
     st.add_argument("--follow", action="store_true",
                     help="keep tailing instead of drain-and-stop")
     st.set_defaults(fn=cmd_stream)
+
+    dd = sub.add_parser("dedup", help="document dedup: pairs -> components -> keep-one")
+    dd.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    dd.add_argument("--output", required=True, help="deduped parquet output dir")
+    dd.add_argument("--method", choices=["exact", "minhash", "simhash"], default="minhash")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--threshold", type=float, default=0.8,
+                    help="minhash: estimated-Jaccard keep threshold")
+    dd.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash: max fingerprint hamming distance")
+    dd.set_defaults(fn=cmd_dedup)
 
     dm = sub.add_parser("discover-mappings", help="offline category->schema discovery")
     dm.add_argument("--categories", required=True, help="parquet with a category column")
