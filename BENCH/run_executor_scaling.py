@@ -202,6 +202,12 @@ def main() -> None:
         for a, b in zip(runs[1], runs[4])
         if a["steady_bucket_s_mean"] and b["steady_bucket_s_mean"]
     ]
+    # the same matched-rep treatment for raw wall (pooled min can pair a W1
+    # and a W4 from different noise windows; these ratios never do)
+    matched_raw = [
+        round(a["seconds"] / (4 * b["seconds"]), 3)
+        for a, b in zip(runs[1], runs[4])
+    ]
     # matched-cores steady: both configs' worker on cores 0-1, removing the
     # measured ~19% host-side core-set speed gradient (a sandbox artifact a
     # homogeneous real cluster does not have; both variants reported)
@@ -227,6 +233,7 @@ def main() -> None:
         "min_steady_bucket_s": {str(w): round(v, 2) for w, v in min_steady.items()},
         "speedup": round(speedup, 3),
         "efficiency_raw_wall": round(eff, 3),
+        "raw_wall_matched_rep_pairs": matched_raw,
         "efficiency_steady_state": eff_steady,
         "efficiency_steady_matched_rep": {
             "pairs": matched,
