@@ -47,3 +47,46 @@ def test_cli_dedup_simhash(spark, tmp_path, capsys):
     # doc 2 folds into the min-id representative 1; doc 3 survives
     assert kept == {1, 3}
     assert rep["neardup_pairs"] >= 1 and rep["docs_kept"] == 2
+
+
+def test_cli_link_manifest(spark, tmp_path, capsys, smoke_fixture_dir):
+    """The `link` subcommand commits the location-triple cascade with a
+    manifest carrying link-score metrics (north_rule: triple-count/
+    link-score metrics alongside each commit), and its store matches the
+    operator run directly."""
+    out = str(tmp_path / "linked_kg")
+    assert main([
+        "link", "--input", f"{smoke_fixture_dir}/web_pages.parquet",
+        "--snapshots", smoke_fixture_dir, "--output", out, "--skip-extraction",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    with open(f"{out}/link_manifest.json") as fh:
+        manifest = json.load(fh)
+    assert manifest == rep
+    assert rep["n_business"] > 0
+    scores = rep["link_scores"]
+    # the smoke fixture links most cities and every state (Saint Louis is
+    # the deliberate >100km state-only case), so both rates are nontrivial
+    assert 0 < scores["city_link_rate"] <= 1.0
+    assert 0 < scores["state_link_rate"] <= 1.0
+    assert rep["commit_id"] == f"link-{rep['n_business']}-{rep['n_triples']}"
+
+    from yckg_spark.operators.enrich_wikidata import location_triples
+    from yckg_spark.sources.snapshots import load_snapshots
+    from yckg_spark.sources.web_pages import parse_records, read_web_pages
+
+    pages = read_web_pages(spark, f"{smoke_fixture_dir}/web_pages.parquet")
+    biz = parse_records(pages, use_extraction=False)["business"]
+    want = {
+        tuple(r)
+        for r in location_triples(biz, load_snapshots(spark, smoke_fixture_dir))
+        .select("subject", "predicate", "object", "is_literal", "datatype")
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/triples")
+        .select("subject", "predicate", "object", "is_literal", "datatype")
+        .collect()
+    }
+    assert got == want and rep["n_triples"] == len(want)

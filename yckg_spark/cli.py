@@ -22,6 +22,8 @@ synth       deterministic synthetic web_pages corpus (fixtures) for
 query       run one of the CQ1-16 competency questions over a built store
 dedup       document dedup: exact / minhash-LSH / simhash pair generation →
             connected components → keep one representative per component
+link        Wikidata entity-linking pass → location triple cascade, with
+            link-score metrics in the commit manifest
 """
 
 from __future__ import annotations
@@ -204,6 +206,76 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_link(args) -> int:
+    """Wikidata entity-linking pass (north_rule: candidate entity-link
+    scoring with link-score metrics written alongside the commit): parse
+    businesses out of the corpus, resolve city/county/state/country QIDs
+    against the wbsearchentities/SPARQL snapshot tables
+    (location_from_wikidata.py re-realized as broadcast joins + windows),
+    emit the location triple cascade, and commit it with a manifest row
+    carrying per-level link rates. The per-business link table is persisted
+    once and shared by the metrics aggregate and the triple emission; the
+    triple count rides the write job as an Observation — the written store
+    is never re-read."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.enrich_wikidata import link_locations, location_triples
+    from yckg_spark.sources.snapshots import load_snapshots
+    from yckg_spark.sources.web_pages import parse_records, read_web_pages
+
+    spark = _spark(args)
+    t0 = time.time()
+    pages = read_web_pages(spark, args.input)
+    persisted: list = []
+    biz = parse_records(
+        pages, use_extraction=not args.skip_extraction, persisted_out=persisted
+    )["business"]
+    snaps = load_snapshots(spark, args.snapshots)
+
+    linked = link_locations(biz, snaps).persist()
+    m = linked.agg(
+        F.count(F.lit(1)).alias("n_business"),
+        F.count("city_qid").alias("n_city"),
+        F.count("county_qid").alias("n_county"),
+        F.count("state_qid").alias("n_state"),
+        F.count("country_qid").alias("n_country"),
+        F.count("population").alias("n_population"),
+    ).collect()[0]
+
+    obs = Observation()
+    triples = location_triples(biz, snaps, linked=linked).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
+    triples.write.mode("overwrite").partitionBy("predicate").parquet(
+        f"{args.output}/triples"
+    )
+    n_triples = obs.get["n"]
+    for df in persisted + [linked]:
+        df.unpersist()
+
+    nb = m["n_business"] or 0
+    rate = lambda k: round(m[k] / nb, 4) if nb else None  # noqa: E731
+    manifest = {
+        "n_business": nb,
+        "n_triples": n_triples,
+        "link_scores": {
+            "city_link_rate": rate("n_city"),
+            "county_link_rate": rate("n_county"),
+            "state_link_rate": rate("n_state"),
+            "country_link_rate": rate("n_country"),
+            "population_rate": rate("n_population"),
+        },
+        "seconds": round(time.time() - t0, 3),
+        "commit_id": f"link-{nb}-{n_triples}",
+    }
+    # manifest row written only after the data commit succeeded
+    with open(f"{args.output}/link_manifest.json", "w") as fh:
+        json.dump(manifest, fh)
+    print(json.dumps(manifest))
+    return 0
+
+
 def cmd_discover_mappings(args) -> int:
     from pyspark.sql import functions as F
 
@@ -296,6 +368,15 @@ def make_parser() -> argparse.ArgumentParser:
     dd.add_argument("--max-hamming", type=int, default=3,
                     help="simhash: max fingerprint hamming distance")
     dd.set_defaults(fn=cmd_dedup)
+
+    lk = sub.add_parser("link", help="Wikidata entity linking + location triples")
+    lk.add_argument("--input", required=True, help="web_pages parquet path or table")
+    lk.add_argument("--snapshots", required=True,
+                    help="dir of Wikidata snapshot parquet tables")
+    lk.add_argument("--output", required=True,
+                    help="output dir (triples/ + link_manifest.json)")
+    lk.add_argument("--skip-extraction", action="store_true", help="trust the text column")
+    lk.set_defaults(fn=cmd_link)
 
     dm = sub.add_parser("discover-mappings", help="offline category->schema discovery")
     dm.add_argument("--categories", required=True, help="parquet with a category column")

@@ -195,11 +195,20 @@ def link_locations(biz: DataFrame, snaps: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def location_triples(biz: DataFrame, snaps: dict[str, DataFrame]) -> DataFrame:
+def location_triples(
+    biz: DataFrame,
+    snaps: dict[str, DataFrame],
+    linked: DataFrame | None = None,
+) -> DataFrame:
     """The conditional location cascade (create_locations_nt :400-455) as a
     union of guarded projections, deduplicated (the reference accumulates one
-    rdflib Graph — set semantics — for the whole run)."""
-    linked = link_locations(biz, snaps)
+    rdflib Graph — set semantics — for the whole run).
+
+    ``linked``: optionally a precomputed ``link_locations(biz, snaps)``
+    frame — callers that also aggregate link-score metrics from it persist
+    it once and share the stage (the CLI ``link`` subcommand)."""
+    if linked is None:
+        linked = link_locations(biz, snaps)
 
     has_city = F.col("city_qid").isNotNull()
     has_state = F.col("state_qid").isNotNull()
