@@ -84,3 +84,29 @@ def test_salted_agg_is_two_phase(spark, pages):
     agg = salted_agg(t, ["predicate"], {"n": "count"})
     plan = _plan(agg)
     assert plan.count("Exchange") >= 2, plan
+
+
+def test_minhash_band_join_carries_no_sig_array(spark):
+    """The banded self-join must flow (id, band, bh) only: the 32-element
+    signature array must not appear in any exchange partitioned on the band
+    key (it is joined back by id once per side after the pair dedup)."""
+    from yckg_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 3} repeated words here") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(minhash_lsh_pairs(docs, threshold=0.2))
+    # formatted plan: node blocks separated by blank lines, each Exchange
+    # block lists its Input columns and its hashpartitioning Arguments
+    band_exchanges = 0
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        args = next((ln for ln in lines if ln.startswith("Arguments")), "")
+        if "band" in args and "bh" in args:
+            band_exchanges += 1
+            inp = next((ln for ln in lines if ln.startswith("Input")), "")
+            assert "sig" not in inp, block
+    assert band_exchanges >= 2, plan  # both self-join sides shuffle on (band, bh)

@@ -127,9 +127,13 @@ def minhash_lsh_pairs(
         joined = F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
         return _md5_32(joined) if use_md5 else F.xxhash64(joined)
 
+    # ids-only through the band self-join: the 32-element sig array must NOT
+    # ride the banded explode (it would be replicated `bands`x into the
+    # exchange and carried on both join sides). Only (id, band, bh) flows
+    # through the join; signatures are joined back exactly once per side
+    # after the pair dedup — the same shape as similarity.lsh_topk.
     banded = sig.select(
         F.col(id_col).alias("id"),
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -138,15 +142,19 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bh")
+    ).select("id", "bb.band", "bb.bh")
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    pair_ids = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = pair_ids.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
