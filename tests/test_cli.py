@@ -23,7 +23,62 @@ def test_cli_dedup_exact(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # 1 and 2 normalize to the same text -> one survives
     assert rep["docs_in"] == 4 and rep["docs_kept"] == 3 and rep["removed"] == 1
-    assert spark.read.parquet(out).count() == 3
+    kept = spark.read.parquet(out)
+    # output contract: document rows (same schema as the input), min-id
+    # representative kept — NOT the (text_hash, n_docs, keep_id) aggregate
+    assert kept.columns == spark.read.parquet(inp).columns
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+
+
+def test_cli_dedup_output_schema_identical_across_methods(spark, tmp_path, capsys):
+    """All three --method variants must emit the same artifact shape:
+    deduplicated document rows with the input's schema."""
+    inp = str(tmp_path / "docs")
+    _write_docs(
+        spark,
+        inp,
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally unrelated content about other things entirely")],
+    )
+    schemas = {}
+    for method in ("exact", "minhash", "simhash"):
+        out = str(tmp_path / f"kept_{method}")
+        assert main(["dedup", "--input", inp, "--output", out,
+                     "--method", method]) == 0
+        capsys.readouterr()
+        schemas[method] = spark.read.parquet(out).schema
+    assert schemas["exact"] == schemas["minhash"] == schemas["simhash"]
+
+
+def test_cli_dedup_then_build_e2e(spark, tmp_path, capsys, smoke_fixture_dir):
+    """The dedup and build subcommands compose: mirror every page under a
+    second url (sorting after the original, so the original is kept), exact-dedup on text back to one copy each, then build the
+    KG from the deduped corpus — same triple count as building the clean
+    fixture directly."""
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(f"{smoke_fixture_dir}/web_pages.parquet")
+    inp = str(tmp_path / "mirrored")
+    dd = str(tmp_path / "deduped")
+    kg, kg_ref = str(tmp_path / "kg"), str(tmp_path / "kg_ref")
+    pages.unionByName(
+        pages.withColumn("url", F.concat(F.lit("zz-mirror://"), F.col("url")))
+    ).write.parquet(inp)
+    n = pages.count()
+
+    assert main(["dedup", "--input", inp, "--output", dd, "--method", "exact",
+                 "--id-col", "url"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] == 2 * n and rep["docs_kept"] == n
+
+    assert main(["build", "--input", dd, "--output", kg, "--n-buckets", "2",
+                 "--skip-extraction"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["build", "--input", f"{smoke_fixture_dir}/web_pages.parquet",
+                 "--output", kg_ref, "--n-buckets", "2", "--skip-extraction"]) == 0
+    ref = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["total_triples"] == ref["total_triples"] > 0
 
 
 def test_cli_dedup_simhash(spark, tmp_path, capsys):

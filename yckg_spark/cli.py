@@ -165,6 +165,9 @@ def cmd_dedup(args) -> int:
     / simhash banding) → connected components → keep one representative per
     component → deduped parquet. The large table is only ever anti-joined
     on ids; pair generation is bucketed (never all-pairs)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from yckg_spark.operators.dedup import (
         dedup_keep_representatives,
         exact_dedup,
@@ -177,7 +180,13 @@ def cmd_dedup(args) -> int:
     t0 = time.time()
     persisted: list = []
     if args.method == "exact":
-        kept = exact_dedup(docs, text_col=args.text_col, id_col=args.id_col)
+        # same output contract as minhash/simhash: document rows, one
+        # representative per identical-text group (semi-join on keep ids —
+        # the big table is never shuffled on text)
+        keep = exact_dedup(docs, text_col=args.text_col, id_col=args.id_col).select(
+            F.col("keep_id").alias(args.id_col)
+        )
+        kept = docs.join(keep, args.id_col, "left_semi")
         n_pairs = None
     else:
         if args.method == "minhash":
@@ -193,11 +202,17 @@ def cmd_dedup(args) -> int:
         pairs = pairs.select("id_a", "id_b").persist()
         n_pairs = pairs.count()
         kept = dedup_keep_representatives(docs, pairs, id_col=args.id_col)
-    kept.write.mode("overwrite").parquet(args.output)
+    # output count rides the write job as an Observation (materialize.py
+    # discipline) — the written store is never re-read; input count is a
+    # parquet metadata-only count(*)
+    obs = Observation()
+    kept.observe(obs, F.count(F.lit(1)).alias("n_out")).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    n_out = obs.get["n_out"]
     for df in persisted + ([pairs] if n_pairs is not None else []):
         df.unpersist()
     n_in = docs.count()
-    n_out = spark.read.parquet(args.output).count()
     print(json.dumps({
         "method": args.method, "docs_in": n_in, "docs_kept": n_out,
         "removed": n_in - n_out, "neardup_pairs": n_pairs,
