@@ -167,3 +167,56 @@ def test_dedup_keep_representatives(spark):
     )
     # 2,3 fold into 1; 6 folds into 5; 0,4,7 untouched singletons
     assert kept == [0, 1, 4, 5, 7]
+
+
+def test_neardup_clusters_reliable_checkpoint_matches_local(spark, tmp_path):
+    from yckg_spark.operators.dedup import neardup_clusters
+
+    pairs = [(1, 2), (2, 3), (10, 11)] + [(i, i + 1) for i in range(20, 27)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    local = {(r["doc_id"], r["cluster_id"]) for r in neardup_clusters(df).collect()}
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    reliable = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(df, checkpoint_dir=ckpt_dir).collect()
+    }
+    assert reliable == local
+    # the reliable path actually wrote checkpoint data to the given dir
+    import os
+
+    assert any(files for _, _, files in os.walk(ckpt_dir)), "no checkpoint written"
+
+
+def test_ngram_jaccard_verifies_lsh_candidates(spark, docs):
+    """The scale composition: minhash-LSH candidates -> exact n-gram
+    Jaccard verification. Scores for candidate pairs are identical to the
+    full self-join's; pairs outside the candidate set are not scored."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from yckg_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    cands = minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, threshold=0.0, candidates=cands).collect()}
+    cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert cand_set, "LSH produced no candidates"
+    assert set(verified) <= cand_set
+    for pair, j in verified.items():
+        assert j == full[pair]
+    # the near-dup pair (1, 4) survives LSH and verifies above 0.5
+    assert verified.get((1, 4), 0.0) > 0.5
+
+
+def test_ngram_jaccard_candidates_orientation_normalized(spark, docs):
+    """Reversed (id_b, id_a) candidate pairs score identically."""
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.dedup import ngram_jaccard_pairs
+
+    fwd = spark.createDataFrame([(1, 4)], ["id_a", "id_b"])
+    rev = fwd.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    a = ngram_jaccard_pairs(docs, threshold=0.0, candidates=fwd).collect()
+    b = ngram_jaccard_pairs(docs, threshold=0.0, candidates=rev).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) == 1

@@ -201,7 +201,9 @@ def cmd_dedup(args) -> int:
             )
         pairs = pairs.select("id_a", "id_b").persist()
         n_pairs = pairs.count()
-        kept = dedup_keep_representatives(docs, pairs, id_col=args.id_col)
+        kept = dedup_keep_representatives(
+            docs, pairs, id_col=args.id_col, checkpoint_dir=args.checkpoint_dir
+        )
     # output count rides the write job as an Observation (materialize.py
     # discipline) — the written store is never re-read; input count is a
     # parquet metadata-only count(*)
@@ -382,6 +384,9 @@ def make_parser() -> argparse.ArgumentParser:
                     help="minhash: estimated-Jaccard keep threshold")
     dd.add_argument("--max-hamming", type=int, default=3,
                     help="simhash: max fingerprint hamming distance")
+    dd.add_argument("--checkpoint-dir", default=None,
+                    help="reliable checkpoint dir for the components loop "
+                         "(survives executor loss; default: localCheckpoint)")
     dd.set_defaults(fn=cmd_dedup)
 
     lk = sub.add_parser("link", help="Wikidata entity linking + location triples")

@@ -261,16 +261,35 @@ def simhash_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, threshold: float = 0.3,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via a shingle-equality join:
     |A∩B| from the join, |A|,|B| from per-doc distinct counts.
 
-    At corpus scale run this only on LSH candidates; the join key (shingle)
-    is Zipf-skewed — AQE skew-join splits the hot shingles.
+    ``candidates``: optional (id_a, id_b) frame (e.g. ``minhash_lsh_pairs``
+    output) — the verify-LSH-candidates composition for corpus scale. The
+    shingle table is first semi-joined down to ids that appear in some
+    candidate pair, and the scored pairs are semi-joined to the candidate
+    set, so cost is bounded by the candidate volume instead of the full
+    shingle self-join. Without it the full (exact, quadratic-in-bucket)
+    self-join runs — the join key (shingle) is Zipf-skewed, AQE skew-join
+    splits the hot shingles.
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
     ).distinct()
+    cand = None
+    if candidates is not None:
+        # normalize pair orientation to match the a.id < b.id output below
+        cand = candidates.select(
+            F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
+        ).distinct()
+        ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .unionByName(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = sh.join(ids, "id", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -278,6 +297,8 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    if cand is not None:
+        inter = inter.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
@@ -307,7 +328,10 @@ def embedding_neardup_pairs(
     )
 
 
-def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+def neardup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id, cluster_id)
     with cluster_id = the smallest doc id in the component.
 
@@ -321,20 +345,32 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -
     propagation alone needs O(diameter) rounds, the jump cuts that to
     O(log diameter) — near-dup components are tiny (dup clusters), so this
     is 2-3 rounds in practice. Each round shuffles only (node, label)
-    pairs bounded by the edge count; localCheckpoint truncates lineage so
-    plans do not grow across rounds. Only nodes that appear in some pair
+    pairs bounded by the edge count. Only nodes that appear in some pair
     are returned (singletons are trivially their own cluster).
+
+    Lineage is cut every round so plans do not grow across rounds:
+    ``localCheckpoint`` (executor memory, fast) by default — fine locally,
+    but on a real cluster an executor loss mid-loop is unrecoverable
+    (blocks are neither replicated nor on reliable storage). Pass
+    ``checkpoint_dir`` to use reliable ``checkpoint()`` against that
+    HDFS/object-store path instead; the loop then survives executor loss
+    at the cost of a write per round.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
     )
-    labels = (
+    labels = _cut(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     while True:
         nbr_min = (
@@ -349,10 +385,9 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -
             ),
         )
         ptr = prop.select(F.col("node").alias("pn"), F.col("label").alias("plabel"))
-        jumped = (
+        jumped = _cut(
             prop.join(ptr, prop["label"] == ptr["pn"], "left")
             .select("node", F.coalesce("plabel", "label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             jumped.alias("n")
@@ -367,13 +402,15 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -
 
 def dedup_keep_representatives(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-    id_a: str = "id_a", id_b: str = "id_b",
+    id_a: str = "id_a", id_b: str = "id_b", checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep exactly one document per near-dup component (the min-id member);
     documents in no pair pass through untouched. Anti-join on the non-
-    representative member set — the big table is never shuffled on text."""
+    representative member set — the big table is never shuffled on text.
+    ``checkpoint_dir``: reliable-checkpoint path for the components loop
+    (see ``neardup_clusters``)."""
     dupes = (
-        neardup_clusters(pairs, id_a, id_b)
+        neardup_clusters(pairs, id_a, id_b, checkpoint_dir=checkpoint_dir)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select(F.col("doc_id").alias(id_col))
     )
