@@ -537,6 +537,33 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3
 """
 
 
+def q_ivf_stored_topk(spark, sf_dir):
+    """IVF-Flat against a PERSISTED index (corpus partitionBy(cell) +
+    codebook JSON): write, read back, probe at nprobe == n_cells — the
+    stored path reproduces exact brute-force top-k bit-for-bit, so the
+    same SQL oracle value-checks the index write/read/probe round trip.
+    Partition pruning of the probe is asserted in tests/test_plans.py."""
+    import shutil
+    import tempfile
+
+    from yckg_spark.operators.similarity import ivf_topk_stored, ivf_write_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        ivf_write_index(e, path, n_cells=8)
+        out = ivf_topk_stored(
+            spark, path, e.filter(F.col("vec_id") < 20), k=3, nprobe=8
+        ).select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+        # materialize before the index dir is deleted
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Exact cosine near-duplicate pairs (the verification stage of the
     embedding near-dup path; candidates come from hyperplane LSH at scale).
@@ -1169,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "windowed_events": q_windowed_events,
         "ivf_topk": q_ivf_topk,
+        "ivf_stored_topk": q_ivf_stored_topk,
         "geocode_join": q_geocode_join,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1214,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _ORACLE_EMB_NEARDUP,
         "windowed_events": _ORACLE_WINDOWED,
         "ivf_topk": _ORACLE_TOPK_EMB,
+        "ivf_stored_topk": _ORACLE_TOPK_EMB,
         "ngram_jaccard": _ORACLE_NGRAM,
         "lang_id_pred": _ORACLE_LANG_ID,
         "quality_score": _ORACLE_QUALITY,

@@ -130,3 +130,43 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(tuple(r) for r in ivf_topk(emb, qs, k=3, n_cells=8, nprobe=2).collect())
     b = sorted(tuple(r) for r in ivf_topk(emb, qs, k=3, n_cells=8, nprobe=2).collect())
     assert a == b and len(a) > 0
+
+
+def test_ivf_stored_index_matches_in_memory(spark, emb, tmp_path):
+    """Write index -> read back -> full-probe query == brute force, and the
+    codebook round-trips so stored results match the in-memory path."""
+    from yckg_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_stored,
+        ivf_write_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, n_cells=8)
+    qs = emb.filter("vec_id < 30")
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in brute_force_topk(emb, qs, k=4).collect()
+    )
+    stored = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in ivf_topk_stored(spark, path, qs, k=4, nprobe=8).collect()
+    )
+    assert stored == exact
+
+
+def test_ivf_stored_probe_prunes_cell_partitions(spark, clustered, tmp_path):
+    """A pruned probe against the stored index must reach the scan as a
+    PartitionFilters entry on `cell` — directory-level pruning, the whole
+    point of partitionBy(cell) — and read strictly fewer than all cells."""
+    from yckg_spark.operators.similarity import ivf_topk_stored, ivf_write_index
+
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(clustered, path, n_cells=16)
+    qs = clustered.filter("vec_id < 5")
+    out = ivf_topk_stored(spark, path, qs, k=3, nprobe=2)
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in seg, seg

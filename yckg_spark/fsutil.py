@@ -1,0 +1,43 @@
+"""Small-file IO through the Hadoop FileSystem API (JVM gateway).
+
+Side-channel artifacts (lineage manifests, codebooks) must land on the
+SAME filesystem as the data they describe — builtin ``open()`` silently
+writes a local file when the output dir is ``hdfs://``/``s3a://``, which
+breaks the "manifest row written only after the data commit" pairing.
+These helpers resolve the scheme from the path, so local paths keep
+working unchanged and remote URIs go through the cluster's filesystem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create-or-overwrite ``path`` with UTF-8 ``text`` (any Hadoop FS)."""
+    fs, jpath, _ = _fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath, jvm = _fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath, _ = _fs(spark, path)
+    return bool(fs.exists(jpath))

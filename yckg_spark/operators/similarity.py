@@ -255,8 +255,9 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, vec, cell): nearest-centroid assignment. At scale ``cell`` is
-    the index's partition key — write the corpus ``partitionBy("cell")``
-    and every probe prunes to nprobe/K of the data."""
+    the index's partition key — ``ivf_write_index`` stores the corpus
+    ``partitionBy("cell")`` and every probe prunes to nprobe/K of the
+    data (``ivf_topk_stored``)."""
     best = F.sort_array(_cell_scores(F.col(vec_col), centroids), asc=False)[0]["i"]
     return emb.select(F.col(id_col), F.col(vec_col), best.alias("cell"))
 
@@ -312,6 +313,106 @@ def ivf_topk(
     )
     scored = (
         corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_write_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    *,
+    lloyd_iters: int = 5,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Persist an IVF-Flat index: the assigned corpus ``partitionBy("cell")``
+    under ``<path>/vectors`` plus the centroid codebook as JSON under
+    ``<path>/codebook.json`` (written through the same Hadoop filesystem as
+    the vectors). This is the 100-TB usage pattern: the assignment pass runs
+    once, and every subsequent probe reads only the nprobe cell partitions
+    (directory-level partition pruning — see ``ivf_topk_stored``).
+
+    Returns the centroids so callers can reuse them without re-reading.
+    """
+    import json
+
+    from yckg_spark.fsutil import write_text
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb, n_cells, lloyd_iters=lloyd_iters, train_sample=train_sample,
+            id_col=id_col, vec_col=vec_col,
+        )
+    ivf_assign(emb, centroids, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+    # codebook written only after the vector commit succeeded
+    write_text(emb.sparkSession, f"{path}/codebook.json", json.dumps(centroids))
+    return centroids
+
+
+def ivf_read_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """(vectors DataFrame with its ``cell`` partition column, centroids)."""
+    import json
+
+    from yckg_spark.fsutil import read_text
+
+    centroids = json.loads(read_text(spark, f"{path}/codebook.json"))
+    return spark.read.parquet(f"{path}/vectors"), centroids
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a stored index: probe only the union of the
+    queries' nprobe nearest cells.
+
+    The probed cell set is resolved driver-side from the (small) query
+    frame and pushed into the scan as a literal ``cell IN (...)`` filter —
+    directory-level partition pruning, so only nprobe-ish of the K cell
+    partitions are ever read (asserted on the plan's PartitionFilters in
+    tests/test_plans.py). The probe itself is the same broadcast hash join
+    on ``cell`` as ``ivf_topk``.
+    """
+    corpus, centroids = ivf_read_index(spark, path)
+    probe_cells = F.slice(
+        F.transform(
+            F.sort_array(_cell_scores(F.col(vec_col), centroids), asc=False),
+            lambda s: s["i"],
+        ),
+        1,
+        min(nprobe, len(centroids)),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    # driver-side literal cell set -> PartitionFilters on the index scan
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    scored = (
+        corpus.filter(F.col("cell").isin(probed))
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
+        .join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
