@@ -126,6 +126,26 @@ def test_cli_link_manifest(spark, tmp_path, capsys, smoke_fixture_dir):
     assert 0 < scores["state_link_rate"] <= 1.0
     assert rep["commit_id"] == f"link-{rep['n_business']}-{rep['n_triples']}"
 
+    # per-entity link-confidence table written alongside the triples
+    links = spark.read.parquet(f"{out}/links")
+    assert {"business_id", "link_mask", "link_score"} <= set(links.columns)
+    assert links.count() == rep["n_business"]
+    rows = links.collect()
+    assert all(0.0 <= r["link_score"] <= 1.0 for r in rows)
+    # the mask agrees with the qid columns row by row
+    for r in rows:
+        mask = "".join(
+            "1" if r[c] is not None else "0"
+            for c in ("city_qid", "county_qid", "state_qid", "country_qid")
+        )
+        assert r["link_mask"] == mask
+        assert r["link_score"] == mask.count("1") / 4.0
+    # the fixture's deliberate >100km state-only case yields partial links
+    assert min(r["link_score"] for r in rows) < max(r["link_score"] for r in rows)
+    assert rep["link_scores"]["avg_link_score"] == round(
+        sum(r["link_score"] for r in rows) / len(rows), 4
+    )
+
     from yckg_spark.operators.enrich_wikidata import location_triples
     from yckg_spark.sources.snapshots import load_snapshots
     from yckg_spark.sources.web_pages import parse_records, read_web_pages

@@ -54,6 +54,24 @@ def test_ekg_cq2_resolution_and_population_flag(spark, snaps):
     assert "Nowhere" not in got  # unresolvable pair drops out, like the reference
 
 
+def test_ekg_cq2_empty_city_name_dropped(spark, snaps):
+    """A degenerate empty city_name must be dropped, not resolved: the raw
+    containment predicate LIKE '%%' would match every label, which is never
+    the intended answer."""
+    pairs = spark.createDataFrame(
+        [("", "Pennsylvania"), ("Philadelphia", "Pennsylvania")],
+        ["city_name", "state_name"],
+    )
+    got = {
+        r["city_name"]
+        for r in ekg_cq2_city_state_resolution(
+            pairs, snaps["wd_labels"], snaps["wd_entities"],
+            snaps["wd_admin"], snaps["wd_population"],
+        ).collect()
+    }
+    assert got == {"Philadelphia"}
+
+
 def test_ekg_cq2_containment_join_is_hash_not_nested_loop(spark, snaps):
     """The label-containment join is blocked on a leading-slice equi-key
     (LIKE verified as a residual), so the physical plan is a

@@ -230,14 +230,20 @@ def cmd_link(args) -> int:
     against the wbsearchentities/SPARQL snapshot tables
     (location_from_wikidata.py re-realized as broadcast joins + windows),
     emit the location triple cascade, and commit it with a manifest row
-    carrying per-level link rates. The per-business link table is persisted
-    once and shared by the metrics aggregate and the triple emission; the
-    triple count rides the write job as an Observation — the written store
-    is never re-read."""
+    carrying per-level link rates. The per-business link table (with a
+    link_mask/link_score confidence column) is persisted once, shared by
+    the metrics aggregate and the triple emission, and written alongside
+    the triples so consumers can filter by link quality; the triple count
+    rides the write job as an Observation — the written store is never
+    re-read."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from yckg_spark.operators.enrich_wikidata import link_locations, location_triples
+    from yckg_spark.operators.enrich_wikidata import (
+        link_locations,
+        location_triples,
+        with_link_score,
+    )
     from yckg_spark.sources.snapshots import load_snapshots
     from yckg_spark.sources.web_pages import parse_records, read_web_pages
 
@@ -250,7 +256,7 @@ def cmd_link(args) -> int:
     )["business"]
     snaps = load_snapshots(spark, args.snapshots)
 
-    linked = link_locations(biz, snaps).persist()
+    linked = with_link_score(link_locations(biz, snaps)).persist()
     m = linked.agg(
         F.count(F.lit(1)).alias("n_business"),
         F.count("city_qid").alias("n_city"),
@@ -258,7 +264,13 @@ def cmd_link(args) -> int:
         F.count("state_qid").alias("n_state"),
         F.count("country_qid").alias("n_country"),
         F.count("population").alias("n_population"),
+        F.avg("link_score").alias("avg_link_score"),
     ).collect()[0]
+    # per-entity link confidence table, written alongside the triples
+    linked.select(
+        "business_id", "city_qid", "county_qid", "state_qid", "country_qid",
+        "link_mask", "link_score",
+    ).write.mode("overwrite").parquet(f"{args.output}/links")
 
     obs = Observation()
     triples = location_triples(biz, snaps, linked=linked).observe(
@@ -282,13 +294,17 @@ def cmd_link(args) -> int:
             "state_link_rate": rate("n_state"),
             "country_link_rate": rate("n_country"),
             "population_rate": rate("n_population"),
+            "avg_link_score": round(m["avg_link_score"], 4)
+            if m["avg_link_score"] is not None else None,
         },
         "seconds": round(time.time() - t0, 3),
         "commit_id": f"link-{nb}-{n_triples}",
     }
-    # manifest row written only after the data commit succeeded
-    with open(f"{args.output}/link_manifest.json", "w") as fh:
-        json.dump(manifest, fh)
+    # manifest row written only after the data commit succeeded — through
+    # the same filesystem as the data (hdfs://, s3a://, file: all work)
+    from yckg_spark.fsutil import write_text
+
+    write_text(spark, f"{args.output}/link_manifest.json", json.dumps(manifest))
     print(json.dumps(manifest))
     return 0
 

@@ -195,6 +195,25 @@ def link_locations(biz: DataFrame, snaps: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+_LINK_LEVELS = ("city_qid", "county_qid", "state_qid", "country_qid")
+
+
+def with_link_score(linked: DataFrame) -> DataFrame:
+    """Per-business link confidence over a ``link_locations`` frame:
+    ``link_mask`` — a city/county/state/country hit string like "1011" —
+    and ``link_score`` — the fraction of the four levels that resolved.
+
+    Mirrors the reference's rank intent (location_from_wikidata.py:160-176:
+    lower-rank candidates that link at more levels win); downstream
+    consumers filter by link quality without re-running the cascade. Pure
+    Column expressions, no extra shuffle."""
+    bits = [F.col(c).isNotNull().cast("int") for c in _LINK_LEVELS]
+    score = bits[0] + bits[1] + bits[2] + bits[3]
+    return linked.withColumn(
+        "link_mask", F.concat(*[b.cast("string") for b in bits])
+    ).withColumn("link_score", (score / F.lit(float(len(_LINK_LEVELS)))).alias("link_score"))
+
+
 def location_triples(
     biz: DataFrame,
     snaps: dict[str, DataFrame],

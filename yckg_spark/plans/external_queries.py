@@ -88,7 +88,11 @@ def ekg_cq2_city_state_resolution(
         F.flatten(F.array(*[_slices_of_len(n) for n in (1, 2, 3)]))
     )
     labels_sliced = labels.withColumn("__slice", F.explode(slices))
-    keyed_pairs = pairs.withColumn(
+    # Degenerate empty city names are dropped explicitly: under the raw
+    # containment join LIKE '%%' they'd match EVERY label (a useless
+    # all-pairs answer); the blocking key makes that intent explicit
+    # instead of silently key-matching ''.
+    keyed_pairs = pairs.filter(F.length("city_name") > 0).withColumn(
         "__k", F.substring(F.lower(F.col("city_name")), 1, 3)
     )
     cand = (
