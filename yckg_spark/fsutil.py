@@ -41,3 +41,16 @@ def read_text(spark: SparkSession, path: str) -> str:
 def exists(spark: SparkSession, path: str) -> bool:
     fs, jpath, _ = _fs(spark, path)
     return bool(fs.exists(jpath))
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, jpath, _ = _fs(spark, path)
+    fs.mkdirs(jpath)
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """File/dir names directly under ``path`` ([] if it doesn't exist)."""
+    fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(jpath))

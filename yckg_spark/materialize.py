@@ -39,14 +39,16 @@ def _manifest_path(out_dir: str) -> str:
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    # manifest IO goes through the Hadoop FS API so the store (and its
+    # lineage) can live on hdfs://, s3a://, or a local dir alike
+    from yckg_spark.fsutil import list_names, read_text
+
     p = _manifest_path(out_dir)
-    if not os.path.exists(p) or not any(f.endswith(".json") for f in os.listdir(p)):
-        return None
-    rows = []
-    for f in sorted(os.listdir(p)):
-        if f.endswith(".json"):
-            with open(os.path.join(p, f)) as fh:
-                rows.append(json.load(fh))
+    rows = [
+        json.loads(read_text(spark, os.path.join(p, f)))
+        for f in list_names(spark, p)
+        if f.endswith(".json")
+    ]
     return spark.createDataFrame(rows) if rows else None
 
 
@@ -74,7 +76,9 @@ def run_resumable(
     real cluster) split one build between them; each writes disjoint
     partitions and manifest rows, so shards compose. Returns run metrics.
     """
-    os.makedirs(_manifest_path(out_dir), exist_ok=True)
+    from yckg_spark.fsutil import mkdirs, write_text
+
+    mkdirs(spark, _manifest_path(out_dir))
     done = completed_buckets(spark, out_dir)
     if "bucket" in pages.columns:
         # pre-bucketed corpus (Iceberg bucket(url) emulation): the bucket
@@ -139,8 +143,10 @@ def run_resumable(
             "commit_id": f"b{b}-{n_pages}-{n_triples}",
         }
         # manifest row written only after the data commit succeeded
-        with open(os.path.join(_manifest_path(out_dir), f"bucket-{b}.json"), "w") as fh:
-            json.dump(commit, fh)
+        write_text(
+            spark, os.path.join(_manifest_path(out_dir), f"bucket-{b}.json"),
+            json.dumps(commit),
+        )
         metrics_all.append(commit)
         commits += 1
         # drop exactly this bucket's stage-cut blocks (classified + parsed
