@@ -148,8 +148,22 @@ def main() -> None:
                     help="fixture scale; 340000 ≈ 4M pages so each worker "
                          "runs long enough to amortize JVM warmup")
     ap.add_argument("--n-buckets", type=int, default=N_BUCKETS)
+    ap.add_argument("--invocation", default="c",
+                    help="tag for matched-pair grouping across invocations")
+    ap.add_argument("--summarize-only", action="store_true",
+                    help="recompute executor_scaling.json from the rep "
+                         "history without running anything")
     args = ap.parse_args()
     N_BUCKETS = args.n_buckets
+
+    if args.summarize_only:
+        summary = summarize(
+            REPO / "BENCH" / "executor_scaling_reps.jsonl", N_BUCKETS, args.n_business
+        )
+        with open(REPO / "BENCH" / "executor_scaling.json", "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary), flush=True)
+        return
 
     zip_path = build_zip()
     spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
@@ -172,46 +186,79 @@ def main() -> None:
                      YCKG_LOCAL_DIR="/dev/shm/spark-local"),
         )
 
-    runs: dict[int, list[dict]] = {1: [], 4: []}
+    reps_path = REPO / "BENCH" / "executor_scaling_reps.jsonl"
+    invocation = args.invocation
     for rep in range(args.reps):
         for w in (1, 4):
             r = run_config(spark_submit, zip_path, input_dir, w)
             r["rep"] = rep
+            r["invocation"] = invocation
             print(json.dumps(r), flush=True)
-            runs[w].append(r)
+            with open(reps_path, "a") as f:
+                f.write(json.dumps(r) + "\n")
 
-    # per-level MINIMUM of each metric across interleaved reps — the only
-    # defensible estimator under this host's invisible noise (BASELINE.md);
-    # the minimum is the run least distorted by host interference
+    summary = summarize(reps_path, N_BUCKETS, args.n_business)
+    with open(REPO / "BENCH" / "executor_scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary), flush=True)
+
+
+def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
+    """Recompute the scaling summary over the FULL rep history (every rep
+    ever appended to executor_scaling_reps.jsonl at this config).
+
+    Estimators:
+      * matched same-invocation pairs — rep i's W1 over rep i's W4, both
+        sides sharing one host-noise window; the PASS is gated on the
+        MEDIAN pair (max is reported only as supplementary: noise
+        inflating a W1 rep inflates that pair's ratio, so best-pair is
+        upward-biased as a pass criterion);
+      * pooled per-level minima — min W1 wall vs min W4 wall regardless of
+        window (each side's min is its least-distorted run).
+    """
+    import statistics
+
+    all_reps = []
+    with open(reps_path) as f:
+        for line in f:
+            r = json.loads(line)
+            if r.get("workers") in (1, 4):
+                all_reps.append(r)
+    # the history spans corpus sizes across rounds — keep only reps of the
+    # current config (same corpus as the most recent rep)
+    current_corpus = all_reps[-1]["total_triples"]
+    runs: dict[int, list[dict]] = {1: [], 4: []}
+    for r in all_reps:
+        if r["total_triples"] == current_corpus:
+            runs[r["workers"]].append(r)
+    # matched pairs are built per invocation in rep order
+    pairs: list[tuple[dict, dict]] = []
+    by_inv: dict = {}
+    for w in (1, 4):
+        for r in runs[w]:
+            by_inv.setdefault((r.get("invocation"), r.get("rep")), {})[w] = r
+    for key in sorted(by_inv, key=str):
+        d = by_inv[key]
+        if 1 in d and 4 in d:
+            pairs.append((d[1], d[4]))
+
     best_wall = {w: min(rs, key=lambda r: r["seconds"]) for w, rs in runs.items()}
     min_steady = {
         w: min(r["steady_bucket_s_mean"] for r in rs if r["steady_bucket_s_mean"])
         for w, rs in runs.items()
     }
-    speedup = best_wall[1]["seconds"] / best_wall[4]["seconds"]
-    eff = speedup / 4
-    # steady-state: equal per-worker core counts, so efficiency is the
-    # plain ratio of post-warmup per-bucket seconds
-    eff_steady = round(min_steady[1] / min_steady[4], 3)
-    # matched same-invocation pairs (judge's ask): rep i's W1 steady over
-    # rep i's W4 steady — both sides of each ratio share one noise window.
-    # The MAX pair is the min-of-reps principle applied to the ratio (the
-    # window least distorted by host interference); min shown alongside.
-    matched = [
+    matched_raw = [round(a["seconds"] / (4 * b["seconds"]), 3) for a, b in pairs]
+    matched_steady = [
         round(a["steady_bucket_s_mean"] / b["steady_bucket_s_mean"], 3)
-        for a, b in zip(runs[1], runs[4])
+        for a, b in pairs
         if a["steady_bucket_s_mean"] and b["steady_bucket_s_mean"]
     ]
-    # the same matched-rep treatment for raw wall (pooled min can pair a W1
-    # and a W4 from different noise windows; these ratios never do)
-    matched_raw = [
-        round(a["seconds"] / (4 * b["seconds"]), 3)
-        for a, b in zip(runs[1], runs[4])
-    ]
+    eff_raw_pooled = round(best_wall[1]["seconds"] / (4 * best_wall[4]["seconds"]), 3)
+    eff_steady_pooled = round(min_steady[1] / min_steady[4], 3)
     # matched-cores steady: both configs' worker on cores 0-1, removing the
     # measured ~19% host-side core-set speed gradient (a sandbox artifact a
-    # homogeneous real cluster does not have; both variants reported)
-    eff_matched = None
+    # homogeneous real cluster does not have)
+    eff_matched_cores = None
     try:
         def core0_steady(rs):
             vals = []
@@ -221,35 +268,48 @@ def main() -> None:
                         vals.append(sum(w["steady_s"]) / len(w["steady_s"]))
             return min(vals)
 
-        eff_matched = round(core0_steady(runs[1]) / core0_steady(runs[4]), 3)
+        eff_matched_cores = round(core0_steady(runs[1]) / core0_steady(runs[4]), 3)
     except (KeyError, ValueError, ZeroDivisionError):
         pass
-    summary = {
+
+    def stats(vals):
+        return {
+            "pairs": vals,
+            "median": round(statistics.median(vals), 3) if vals else None,
+            "best": max(vals) if vals else None,
+            "worst": min(vals) if vals else None,
+        }
+
+    raw_stats, steady_stats = stats(matched_raw), stats(matched_steady)
+    return {
         "metric": "kg_build_executor_scaling",
-        "n_buckets": N_BUCKETS,
-        "n_business": args.n_business,
+        "n_buckets": n_buckets,
+        "n_business": n_business,
+        "n_reps": len(pairs),
+        "method": (
+            "interleaved W1/W4 rep pairs of taskset-pinned separate 2-core "
+            "JVMs over the full rep history; pass gates use the MEDIAN "
+            "matched same-invocation pair (noise-robust, not upward-biased "
+            "like best-pair) and the pooled per-level minima; best/worst "
+            "pairs reported as supplementary"
+        ),
         "n1": best_wall[1],
         "n4": best_wall[4],
         "min_steady_bucket_s": {str(w): round(v, 2) for w, v in min_steady.items()},
-        "speedup": round(speedup, 3),
-        "efficiency_raw_wall": round(eff, 3),
-        "raw_wall_matched_rep_pairs": matched_raw,
-        "efficiency_steady_state": eff_steady,
-        "efficiency_steady_matched_rep": {
-            "pairs": matched,
-            "best": max(matched) if matched else None,
-            "worst": min(matched) if matched else None,
-        },
-        "efficiency_steady_matched_cores": eff_matched,
-        "passes_north_rule_0.8_raw": eff >= 0.8,
-        "passes_north_rule_0.8_steady": bool(eff_steady and eff_steady >= 0.8),
-        "passes_north_rule_0.8_steady_matched_rep": bool(
-            matched and max(matched) >= 0.8
+        "efficiency_raw_wall_matched_rep": raw_stats,
+        "efficiency_raw_wall_pooled_min": eff_raw_pooled,
+        "efficiency_steady_matched_rep": steady_stats,
+        "efficiency_steady_pooled_min": eff_steady_pooled,
+        "efficiency_steady_matched_cores": eff_matched_cores,
+        "passes_north_rule_0.8_raw_median_pair": bool(
+            raw_stats["median"] and raw_stats["median"] >= 0.8
         ),
+        "passes_north_rule_0.8_raw_pooled_min": eff_raw_pooled >= 0.8,
+        "passes_north_rule_0.8_steady_median_pair": bool(
+            steady_stats["median"] and steady_stats["median"] >= 0.8
+        ),
+        "passes_north_rule_0.8_steady_pooled_min": eff_steady_pooled >= 0.8,
     }
-    with open(REPO / "BENCH" / "executor_scaling.json", "w") as f:
-        json.dump(summary, f, indent=2)
-    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
