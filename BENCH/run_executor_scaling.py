@@ -13,7 +13,12 @@ that compose into one store).
     W=1: one worker processes all buckets sequentially
     W=4: four concurrent workers each process every 4th bucket
     (round 3: 16 buckets over a ~4M-page corpus, so per-JVM warmup is
-    amortized over 4 buckets per worker instead of 1-2)
+    amortized over 4 buckets per worker instead of 1-2; round 4: the
+    ~8M-page corpus doubles per-bucket work, halving the warmup fraction
+    again, and --core-pairs auto pins all workers to speed-matched vCPU
+    pairs from BENCH/calibrate_cores.py — this host's pairs differ up to
+    ~19% in speed, a hypervisor-placement artifact a homogeneous real
+    cluster does not have, and W=1 runs on one of the same four pairs)
 
 Two metrics per rep (min over reps wins):
   * raw wall-clock efficiency  T1/(4*T4) — includes each JVM's fixed
@@ -49,8 +54,8 @@ N_BUCKETS = 16  # overridable via --n-buckets; 16 so warmup amortizes (round 3)
 
 
 def worker_cmd(spark_submit: str, zip_path: Path, input_dir: str, out_dir: str,
-               buckets: str, worker_idx: int) -> list[str]:
-    lo = worker_idx * CORES_PER_WORKER
+               buckets: str, pair_lo: int) -> list[str]:
+    lo = pair_lo
     hi = lo + CORES_PER_WORKER - 1
     return [
         # dedicated-core pinning + ActiveProcessorCount: the cgroup-cpuset
@@ -75,7 +80,8 @@ def worker_cmd(spark_submit: str, zip_path: Path, input_dir: str, out_dir: str,
     ]
 
 
-def run_config(spark_submit: str, zip_path: Path, input_dir: str, n_workers: int) -> dict:
+def run_config(spark_submit: str, zip_path: Path, input_dir: str, n_workers: int,
+               core_pairs: list[int]) -> dict:
     out_dir = "/dev/shm/yckg-exec-out"
     shutil.rmtree(out_dir, ignore_errors=True)
     env = dict(
@@ -90,7 +96,7 @@ def run_config(spark_submit: str, zip_path: Path, input_dir: str, n_workers: int
     procs = [
         subprocess.Popen(
             worker_cmd(spark_submit, zip_path, input_dir, out_dir,
-                       ",".join(map(str, shard)), i),
+                       ",".join(map(str, shard)), core_pairs[i]),
             stdout=subprocess.PIPE, stderr=ef, text=True, env=env,
         )
         for i, (shard, ef) in enumerate(zip(shards, err_files))
@@ -113,7 +119,7 @@ def run_config(spark_submit: str, zip_path: Path, input_dir: str, n_workers: int
                 if commits:
                     first.append(commits[0]["seconds"])
                     steady.extend(c["seconds"] for c in commits[1:])
-                    lo = i * CORES_PER_WORKER
+                    lo = core_pairs[i]
                     per_worker.append({
                         "cores": f"{lo}-{lo + CORES_PER_WORKER - 1}",
                         "warmup_s": commits[0]["seconds"],
@@ -153,8 +159,20 @@ def main() -> None:
     ap.add_argument("--summarize-only", action="store_true",
                     help="recompute executor_scaling.json from the rep "
                          "history without running anything")
+    ap.add_argument("--core-pairs", default="0,2,4,6",
+                    help="comma-separated pair-low cores for the 4 workers "
+                         "(W=1 uses the first), or 'auto' to take "
+                         "chosen_pairs from BENCH/core_calibration.json — "
+                         "speed-matched pairs so the N-vs-4N comparison "
+                         "sees homogeneous silicon like a real cluster")
     args = ap.parse_args()
     N_BUCKETS = args.n_buckets
+    if args.core_pairs == "auto":
+        with open(REPO / "BENCH" / "core_calibration.json") as f:
+            core_pairs = json.load(f)["chosen_pairs"]
+    else:
+        core_pairs = [int(x) for x in args.core_pairs.split(",")]
+    assert len(core_pairs) == 4, core_pairs
 
     if args.summarize_only:
         summary = summarize(
@@ -190,9 +208,10 @@ def main() -> None:
     invocation = args.invocation
     for rep in range(args.reps):
         for w in (1, 4):
-            r = run_config(spark_submit, zip_path, input_dir, w)
+            r = run_config(spark_submit, zip_path, input_dir, w, core_pairs)
             r["rep"] = rep
             r["invocation"] = invocation
+            r["core_pairs"] = core_pairs
             print(json.dumps(r), flush=True)
             with open(reps_path, "a") as f:
                 f.write(json.dumps(r) + "\n")
@@ -255,21 +274,23 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
     ]
     eff_raw_pooled = round(best_wall[1]["seconds"] / (4 * best_wall[4]["seconds"]), 3)
     eff_steady_pooled = round(min_steady[1] / min_steady[4], 3)
-    # matched-cores steady: both configs' worker on cores 0-1, removing the
-    # measured ~19% host-side core-set speed gradient (a sandbox artifact a
-    # homogeneous real cluster does not have)
+    # matched-cores steady: both configs' worker on the SAME core pair (the
+    # one W=1 ran on), removing the measured ~19% host-side core-set speed
+    # gradient (a sandbox artifact a homogeneous real cluster does not have)
     eff_matched_cores = None
     try:
-        def core0_steady(rs):
+        w1_cores = runs[1][-1]["per_worker"][0]["cores"]
+
+        def pair_steady(rs):
             vals = []
             for r in rs:
                 for w in r.get("per_worker", []):
-                    if w["cores"] == "0-1" and w["steady_s"]:
+                    if w["cores"] == w1_cores and w["steady_s"]:
                         vals.append(sum(w["steady_s"]) / len(w["steady_s"]))
             return min(vals)
 
-        eff_matched_cores = round(core0_steady(runs[1]) / core0_steady(runs[4]), 3)
-    except (KeyError, ValueError, ZeroDivisionError):
+        eff_matched_cores = round(pair_steady(runs[1]) / pair_steady(runs[4]), 3)
+    except (KeyError, IndexError, ValueError, ZeroDivisionError):
         pass
 
     def stats(vals):
@@ -285,6 +306,7 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
         "metric": "kg_build_executor_scaling",
         "n_buckets": n_buckets,
         "n_business": n_business,
+        "core_pairs": all_reps[-1].get("core_pairs"),
         "n_reps": len(pairs),
         "method": (
             "interleaved W1/W4 rep pairs of taskset-pinned separate 2-core "
