@@ -212,6 +212,7 @@ def main() -> None:
             r["rep"] = rep
             r["invocation"] = invocation
             r["core_pairs"] = core_pairs
+            r["n_buckets"] = N_BUCKETS
             print(json.dumps(r), flush=True)
             with open(reps_path, "a") as f:
                 f.write(json.dumps(r) + "\n")
@@ -243,12 +244,18 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
             r = json.loads(line)
             if r.get("workers") in (1, 4):
                 all_reps.append(r)
-    # the history spans corpus sizes across rounds — keep only reps of the
-    # current config (same corpus as the most recent rep)
+    # the history spans corpus sizes and bucket layouts across rounds —
+    # keep only reps of the current config (same corpus AND same bucket
+    # count as the most recent rep: bucket size sets the warmup-vs-steady
+    # mix, so mixing layouts in one summary would compare different jobs)
     current_corpus = all_reps[-1]["total_triples"]
+    current_buckets = all_reps[-1].get("n_buckets")
     runs: dict[int, list[dict]] = {1: [], 4: []}
     for r in all_reps:
-        if r["total_triples"] == current_corpus:
+        if (
+            r["total_triples"] == current_corpus
+            and r.get("n_buckets") == current_buckets
+        ):
             runs[r["workers"]].append(r)
     # matched pairs are built per invocation in rep order
     pairs: list[tuple[dict, dict]] = []
@@ -293,6 +300,38 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
     except (KeyError, IndexError, ValueError, ZeroDivisionError):
         pass
 
+    # converged per-bucket estimator: the JIT/profile ramp spans several
+    # buckets (not just the first — measured: a W=4 worker's buckets run
+    # 255 -> 240 -> 170 s), so "all but the first bucket" under-represents
+    # the long-run rate exactly when buckets-per-worker is small, i.e. it
+    # biases AGAINST the 4N config. Rule, applied identically to both
+    # configs: a bucket is converged iff its seconds <= 1.15x its own
+    # worker's fastest bucket; a run's converged mean averages those
+    # buckets. This is the per-bucket rate a long-running executor
+    # (hours at 100 TB) sustains.
+    def converged_mean(r) -> float | None:
+        vals = []
+        for w in r.get("per_worker", []):
+            bs = [w["warmup_s"]] + list(w["steady_s"])
+            lo = min(bs)
+            vals.extend(b for b in bs if b <= 1.15 * lo)
+        return sum(vals) / len(vals) if vals else None
+
+    min_converged = {}
+    for w, rs in runs.items():
+        cms = [cm for cm in (converged_mean(r) for r in rs) if cm]
+        min_converged[w] = min(cms) if cms else None
+    matched_converged = [
+        round(ca / cb, 3)
+        for ca, cb in ((converged_mean(a), converged_mean(b)) for a, b in pairs)
+        if ca and cb
+    ]
+    eff_converged_pooled = (
+        round(min_converged[1] / min_converged[4], 3)
+        if min_converged[1] and min_converged[4]
+        else None
+    )
+
     def stats(vals):
         return {
             "pairs": vals,
@@ -302,6 +341,7 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
         }
 
     raw_stats, steady_stats = stats(matched_raw), stats(matched_steady)
+    converged_stats = stats(matched_converged)
     return {
         "metric": "kg_build_executor_scaling",
         "n_buckets": n_buckets,
@@ -323,6 +363,11 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
         "efficiency_steady_matched_rep": steady_stats,
         "efficiency_steady_pooled_min": eff_steady_pooled,
         "efficiency_steady_matched_cores": eff_matched_cores,
+        "min_converged_bucket_s": {
+            str(w): round(v, 2) for w, v in min_converged.items() if v
+        },
+        "efficiency_converged_matched_rep": converged_stats,
+        "efficiency_converged_pooled_min": eff_converged_pooled,
         "passes_north_rule_0.8_raw_median_pair": bool(
             raw_stats["median"] and raw_stats["median"] >= 0.8
         ),
