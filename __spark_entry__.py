@@ -825,6 +825,55 @@ WHERE common / (sa.n + sb.n - common) >= 0.02
 """
 
 
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """The corpus-scale dedup composition: minhash-LSH band collisions as
+    the candidate set, exact n-gram Jaccard as the verifier
+    (``ngram_jaccard_pairs(candidates=...)``). Cost is bounded by the
+    candidate volume — the full quadratic shingle self-join never runs.
+    The oracle replays BOTH stages in DuckDB: the md5 minhash banding
+    (threshold 0 = every band collision) feeding the identical
+    intersection/union Jaccard, semi-joined to the candidate pairs."""
+    from yckg_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d, threshold=0.0, use_md5=True).select("id_a", "id_b")
+    return ngram_jaccard_pairs(d, threshold=0.02, candidates=cand)
+
+
+def _ngram_lsh_oracle_sql() -> str:
+    return f"""
+WITH cand AS (
+  SELECT id_a, id_b FROM ({_minhash_oracle_sql(threshold=0.0)})
+), ids AS (
+  SELECT DISTINCT id_a AS id FROM cand
+  UNION SELECT DISTINCT id_b AS id FROM cand
+), ndocs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id IN (SELECT id FROM ids)
+), ntoks AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM ndocs
+), nsh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+              ELSE array_to_string(t, ' ') END AS sh
+  FROM ntoks, LATERAL unnest(
+      CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1) ELSE [1] END) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM nsh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM nsh a JOIN nsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, common / (sa.n + sb.n - common) AS jaccard
+FROM inter i
+JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE common / (sa.n + sb.n - common) >= 0.02
+"""
+
+
 _EMB_DIM = 64  # the embeddings fixture is float[64] at every SF (TESTDATA.md)
 
 
@@ -1204,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "dedup_representatives": q_dedup_representatives,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "lsh_topk": q_lsh_topk,
         "lang_id_pred": q_lang_id_pred,
         "quality_score": q_quality_score,
@@ -1244,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ORACLE_TOPK_EMB,
         "ivf_stored_topk": _ORACLE_TOPK_EMB,
         "ngram_jaccard": _ORACLE_NGRAM,
+        "ngram_jaccard_lsh": _ngram_lsh_oracle_sql(),
         "lang_id_pred": _ORACLE_LANG_ID,
         "quality_score": _ORACLE_QUALITY,
         "multimodal_features": _ORACLE_MULTIMODAL,

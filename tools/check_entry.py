@@ -15,6 +15,8 @@ import __spark_entry__ as entrymod
 from yckg_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional 2nd arg: comma-separated entry names to check (fast iteration)
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -42,6 +44,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failed = []
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         try:
             df = fn(spark, SF_DIR)
             srows = df.collect()
@@ -80,9 +84,10 @@ def main():
             failed.append(name)
         else:
             print(f"ok   {name}: {len(sr)} rows match")
-    # smoke entry()
-    n = entrymod.entry(spark).count()
-    print(f"entry(): {n} triples")
+    if ONLY is None:
+        # smoke entry()
+        n = entrymod.entry(spark).count()
+        print(f"entry(): {n} triples")
     if failed:
         print("FAILED:", failed)
         sys.exit(1)

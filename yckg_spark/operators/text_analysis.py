@@ -111,5 +111,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(
         id_col,
         F.md5(normalize_text(F.col(text_col))).alias("md5_fp"),
-        F.array_min(F.transform(shingles(F.col(text_col), 4), F.xxhash64)).alias("rolling_min_fp"),
+        F.array_min(
+            F.transform(shingles(F.col(text_col), 4), lambda s: F.xxhash64(s))
+        ).alias("rolling_min_fp"),
     )
