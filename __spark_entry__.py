@@ -564,6 +564,48 @@ def q_ivf_stored_topk(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """The corpus-scale embedding near-dup composition: hyperplane-LSH
+    bucket collisions (similarity.lsh_candidate_pairs) as the candidate
+    set, exact cosine as the verifier
+    (``embedding_neardup_pairs(candidates=...)``). The brute quadratic
+    theta-join never runs — vectors are hash-joined onto the candidate
+    pairs once per side. The oracle replays BOTH stages in DuckDB from the
+    same inlined LCG plane constants."""
+    from yckg_spark.operators.dedup import embedding_neardup_pairs
+    from yckg_spark.operators.similarity import lsh_candidate_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    cand = lsh_candidate_pairs(e, dim=64, n_planes=4)
+    out = embedding_neardup_pairs(e, threshold=0.4, candidates=cand)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _emb_neardup_lsh_oracle_sql(dim: int = 64, n_planes: int = 4,
+                                n_tables: int = 4) -> str:
+    bucket_list = _lsh_bucket_sql(dim, n_planes, n_tables)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, unnest([
+      {bucket_list}
+  ]) AS bucket
+  FROM e
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+p AS (
+  SELECT id_a, id_b, list_cosine_similarity(qa.v, qb.v) AS cos
+  FROM cand
+  JOIN e qa ON qa.vec_id = id_a
+  JOIN e qb ON qb.vec_id = id_b
+)
+SELECT id_a, id_b, ROUND(cos, 4) AS cosine FROM p WHERE cos >= 0.4
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Exact cosine near-duplicate pairs (the verification stage of the
     embedding near-dup path; candidates come from hyperplane LSH at scale).
@@ -890,12 +932,10 @@ def q_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
 
 
-def _lsh_topk_oracle_sql(dim: int = _EMB_DIM, k: int = 3, n_planes: int = 6,
-                         n_tables: int = 4) -> str:
-    """DuckDB replica of lsh_topk: the LCG hyperplanes are recomputed here
-    and inlined as double literals (repr() round-trips exactly), so bucket
-    signs, candidate pairs and the rerank match the Spark plan bit-for-bit
-    (cosine compared at round(4), the embed_topk-proven tolerance)."""
+def _lsh_bucket_sql(dim: int, n_planes: int, n_tables: int) -> str:
+    """SQL fragment: the per-table hyperplane bucket strings for a vector
+    ``v`` — the LCG planes recomputed and inlined as double literals
+    (repr() round-trips exactly), matching similarity._bucket_rows."""
     from yckg_spark.operators.similarity import _planes
 
     buckets = []
@@ -908,7 +948,15 @@ def _lsh_topk_oracle_sql(dim: int = _EMB_DIM, k: int = 3, n_planes: int = 6,
             for p in planes
         )
         buckets.append(f"'{t}:' || {bits}")
-    bucket_list = ",\n      ".join(buckets)
+    return ",\n      ".join(buckets)
+
+
+def _lsh_topk_oracle_sql(dim: int = _EMB_DIM, k: int = 3, n_planes: int = 6,
+                         n_tables: int = 4) -> str:
+    """DuckDB replica of lsh_topk: bucket signs, candidate pairs and the
+    rerank match the Spark plan bit-for-bit (cosine compared at round(4),
+    the embed_topk-proven tolerance)."""
+    bucket_list = _lsh_bucket_sql(dim, n_planes, n_tables)
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (
@@ -1254,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "lsh_topk": q_lsh_topk,
         "lang_id_pred": q_lang_id_pred,
         "quality_score": q_quality_score,
@@ -1295,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_stored_topk": _ORACLE_TOPK_EMB,
         "ngram_jaccard": _ORACLE_NGRAM,
         "ngram_jaccard_lsh": _ngram_lsh_oracle_sql(),
+        "embedding_neardup_lsh": _emb_neardup_lsh_oracle_sql(),
         "lang_id_pred": _ORACLE_LANG_ID,
         "quality_score": _ORACLE_QUALITY,
         "multimodal_features": _ORACLE_MULTIMODAL,

@@ -58,6 +58,44 @@ def test_lsh_topk_recall_vs_exact(spark, clustered):
     assert recall >= 0.9, f"recall {recall:.3f}"
 
 
+def test_embedding_neardup_lsh_composition(spark, clustered):
+    """The corpus-scale near-dup composition: lsh_candidate_pairs ->
+    embedding_neardup_pairs(candidates=...). Every emitted pair must carry
+    the exact brute-force cosine (the verifier is exact), and on clustered
+    data the candidate stage must retain recall >= 0.9 of the true
+    same-cluster pairs (cosine ~0.96 => per-table collision ~0.57, OR'd
+    over 4 tables ~0.97)."""
+    from yckg_spark.operators.dedup import embedding_neardup_pairs
+    from yckg_spark.operators.similarity import lsh_candidate_pairs
+
+    thr = 0.9
+    brute = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_neardup_pairs(clustered, threshold=thr).collect()
+    }
+    cand = lsh_candidate_pairs(clustered, dim=64, n_planes=6, n_tables=4)
+    composed = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in embedding_neardup_pairs(
+            clustered, threshold=thr, candidates=cand
+        ).collect()
+    }
+    # exactness: a subset of brute force with identical scores
+    assert set(composed) <= set(brute)
+    assert all(brute[p] == c for p, c in composed.items())
+    assert len(composed) / len(brute) >= 0.9
+
+    # orientation contract: reversed candidate pairs give the same output
+    rev = cand.selectExpr("id_b AS id_a", "id_a AS id_b")
+    composed_rev = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            clustered, threshold=thr, candidates=rev
+        ).collect()
+    }
+    assert composed_rev == set(composed)
+
+
 def test_lsh_single_table_is_weaker_than_multi(spark, emb):
     """The round-1 single-table shape is strictly dominated: adding tables
     can only add candidates, so multi-table recall >= single-table."""

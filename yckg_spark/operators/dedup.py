@@ -313,16 +313,36 @@ def ngram_jaccard_pairs(
 def embedding_neardup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs. Brute pairwise here (exact); at corpus
-    scale generate candidates with random-hyperplane LSH (similarity.py)
-    and verify with this same cosine expression."""
+    """Cosine near-duplicate pairs, exact.
+
+    ``candidates``: optional (id_a, id_b) frame (e.g.
+    ``similarity.lsh_candidate_pairs`` output) — the corpus-scale
+    composition: vectors are hash-joined onto the candidate pairs once per
+    side, so cost is candidate volume × one cosine each instead of the
+    brute quadratic theta-join. Without it the exact all-pairs comparison
+    runs (the intentional small-corpus / verification baseline)."""
     from yckg_spark.operators.similarity import cosine_expr
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if candidates is not None:
+        # normalize orientation to the id_a < id_b contract, then pick the
+        # vectors up via two equi-joins — ids-only until the cosine
+        pairs = (
+            candidates.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+            .join(a, "id_a")
+            .join(b, "id_b")
+        )
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        pairs
         .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -95,6 +95,56 @@ def hyperplane_buckets(
     )
 
 
+def _bucket_rows(
+    emb: DataFrame, dim: int, n_planes: int, n_tables: int,
+    id_col: str, vec_col: str, max_bucket: int | None,
+) -> DataFrame:
+    """(id, bucket) rows: every vector's sign-pattern bucket in each of
+    ``n_tables`` seeded plane families — ids-only, ready for a bucket
+    self-join. Shared by lsh_topk and lsh_candidate_pairs."""
+    bucket_arrays = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed=7 + 101 * t)
+        bits = [
+            F.when(
+                dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, "1"
+            ).otherwise("0")
+            for p in planes
+        ]
+        bucket_arrays.append(F.concat(F.lit(f"{t}:"), *bits))
+    # one pass computes all n_tables signatures, then explodes to L rows/vec
+    b = emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*bucket_arrays)).alias("bucket")
+    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("id")
+        b = b.withColumn("__r", F.row_number().over(wb)).filter(
+            F.col("__r") <= max_bucket
+        ).drop("__r")
+    return b
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame, dim: int, n_planes: int = 8, n_tables: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Unordered candidate pairs (id_a < id_b) that collide in ANY table —
+    the sub-quadratic candidate generator for embedding near-dup at corpus
+    scale, verified exactly by ``embedding_neardup_pairs(candidates=...)``.
+    Same OR-amplification/cost shape as lsh_topk; only (id, bucket) flows
+    through the self-join, vectors are never replicated per bucket."""
+    b = _bucket_rows(emb, dim, n_planes, n_tables, id_col, vec_col, max_bucket)
+    a = b.select(F.col("id").alias("id_a"), "bucket")
+    c = b.select(F.col("id").alias("id_b"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def lsh_topk(
     emb: DataFrame, dim: int, k: int = 5, n_planes: int = 8, n_tables: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -125,25 +175,7 @@ def lsh_topk(
     (top-k neighbors near 60-70°) NO sub-quadratic scheme reaches 0.9;
     use brute_force_topk there — that trade-off is inherent, not a knob.
     """
-    bucket_arrays = []
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed=7 + 101 * t)
-        bits = [
-            F.when(
-                dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, "1"
-            ).otherwise("0")
-            for p in planes
-        ]
-        bucket_arrays.append(F.concat(F.lit(f"{t}:"), *bits))
-    # one pass computes all n_tables signatures, then explodes to L rows/vec
-    b = emb.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*bucket_arrays)).alias("bucket")
-    )
-    if max_bucket is not None:
-        wb = Window.partitionBy("bucket").orderBy("id")
-        b = b.withColumn("__r", F.row_number().over(wb)).filter(
-            F.col("__r") <= max_bucket
-        ).drop("__r")
+    b = _bucket_rows(emb, dim, n_planes, n_tables, id_col, vec_col, max_bucket)
     a = b.select(F.col("id").alias("query_id"), "bucket")
     c = b.select(F.col("id").alias("neighbor_id"), "bucket")
     cand = (
