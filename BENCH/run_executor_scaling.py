@@ -84,9 +84,15 @@ def run_config(spark_submit: str, zip_path: Path, input_dir: str, n_workers: int
                core_pairs: list[int]) -> dict:
     out_dir = "/dev/shm/yckg-exec-out"
     shutil.rmtree(out_dir, ignore_errors=True)
+    # NOTE: no YCKG_MAX_PARTITION_BYTES override here. The bucketized corpus
+    # has ~400 small files per bucket dir; at the default 128 MB budget
+    # Spark's openCostInBytes packing bundles ~32 of them per split, while a
+    # 4 MB cap (<= the 4 MB open cost) made EVERY file its own split and the
+    # 2-core worker per-task-overhead-bound: the same 250k-page bucket ran
+    # 150 s at 396 splits vs 53 s packed (measured A/B on pinned cores 6-7).
+    # Small-files split packing is exactly the knob that matters at 100 TB.
     env = dict(
         os.environ,
-        YCKG_MAX_PARTITION_BYTES="4194304",
         YCKG_LOCAL_DIR="/dev/shm/spark-local",
     )
     all_buckets = list(range(N_BUCKETS))
