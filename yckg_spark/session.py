@@ -62,9 +62,14 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         # Input split sizing. At 100 TB the 128 MB default is right (millions
-        # of splits regardless); at sandbox scale the corpus is a handful of
-        # files, so the UDF-heavy extraction stage needs smaller splits to
-        # fan out across all cores — override via YCKG_MAX_PARTITION_BYTES.
+        # of splits regardless); at sandbox scale a FLAT few-big-files corpus
+        # may need smaller splits so the UDF-heavy extraction stage fans out
+        # across all cores — override via YCKG_MAX_PARTITION_BYTES. Do NOT
+        # lower it on many-small-files inputs: a cap at or below
+        # spark.sql.files.openCostInBytes (4 MB) defeats Spark's small-file
+        # packing and makes every file its own split — measured 2.8x slower
+        # on a 400-file bucket (per-task overhead dominates; see
+        # BENCH/run_executor_scaling.py).
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("YCKG_MAX_PARTITION_BYTES", "134217728"),
