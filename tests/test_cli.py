@@ -165,3 +165,30 @@ def test_cli_link_manifest(spark, tmp_path, capsys, smoke_fixture_dir):
         .collect()
     }
     assert got == want and rep["n_triples"] == len(want)
+
+
+def test_cli_dedup_checkpoint_dir_cleaned_after_commit(spark, tmp_path, capsys):
+    """--checkpoint-dir routes the components loop through reliable
+    checkpoints (executor-loss-safe on a real cluster); once the output
+    write has committed, the CLI — as the dir's owner — deletes the
+    checkpoint data, because Spark never reaps it
+    (cleaner.referenceTracking.cleanCheckpoints defaults to false)."""
+    import os
+
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    _write_docs(
+        spark,
+        inp,
+        [(1, base), (2, base + " extra"),
+         (3, "entirely different words about shuffle partitioning")],
+    )
+    assert main(["dedup", "--input", inp, "--output", out, "--method", "simhash",
+                 "--max-hamming", "3", "--checkpoint-dir", ckpt]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_kept"] == 2
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}
+    # the reliable path ran (the dir was created) and was cleaned after commit
+    assert not os.path.exists(ckpt), "checkpoint dir must be deleted post-commit"

@@ -220,3 +220,68 @@ def test_ngram_jaccard_candidates_orientation_normalized(spark, docs):
     a = ngram_jaccard_pairs(docs, threshold=0.0, candidates=fwd).collect()
     b = ngram_jaccard_pairs(docs, threshold=0.0, candidates=rev).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) == 1
+
+
+def test_ngram_candidate_intersections_are_per_pair(spark):
+    """Inside a k-document dup cluster (the exact case LSH surfaces) the
+    candidates path must pay per candidate PAIR, not k² per hot shingle:
+    `_candidate_intersections` joins shingles onto the pair frame per side,
+    so the pre-aggregation row volume is exactly Σ_pairs |A∩B| — here one
+    candidate pair over a 6-doc identical cluster ⇒ |shingles| rows, where
+    a within-cluster self-join would emit 15 pairs × |shingles|."""
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.dedup import _candidate_intersections, shingles
+
+    docs6 = spark.createDataFrame([(i, BASE) for i in range(1, 7)], ["doc_id", "text"])
+    sh = docs6.select(
+        F.col("doc_id").alias("id"), F.explode(shingles(F.col("text"), 3)).alias("sh")
+    ).distinct()
+    n_shingles = sh.filter("id = 1").count()
+    cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+
+    rows = _candidate_intersections(sh, cand).collect()
+    assert len(rows) == 1
+    assert (rows[0]["id_a"], rows[0]["id_b"], rows[0]["common"]) == (1, 2, n_shingles)
+    # pre-agg volume: each row of the second join IS one common shingle of
+    # one candidate pair
+    sh_a = sh.select(F.col("id").alias("id_a"), "sh")
+    sh_b = sh.select(F.col("id").alias("id_b"), "sh")
+    pre = cand.join(sh_a, "id_a").join(sh_b, ["id_b", "sh"]).count()
+    assert pre == n_shingles  # NOT 15 * n_shingles
+
+
+def test_ngram_candidates_equal_brute_within_cluster(spark):
+    """The per-pair candidates path scores exactly like the full self-join,
+    restricted to the candidate set."""
+    from yckg_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs6 = spark.createDataFrame(
+        [(i, BASE) for i in range(1, 4)] + [(4, BASE.replace("garden", "meadow"))],
+        ["doc_id", "text"],
+    )
+    cand = spark.createDataFrame([(1, 2), (2, 4)], ["id_a", "id_b"])
+    brute = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs6, threshold=0.0).collect()}
+    via = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs6, threshold=0.0, candidates=cand).collect()}
+    assert via == {(1, 2): brute[(1, 2)], (2, 4): brute[(2, 4)]}
+
+
+def test_degenerate_self_candidates_dropped(spark, docs):
+    """An untrusted candidate frame carrying (x, x) pairs must not emit
+    self-pairs the brute id_a < id_b path can never produce — both the
+    ngram and embedding verifiers filter them after orientation
+    normalization."""
+    from yckg_spark.operators.dedup import embedding_neardup_pairs, ngram_jaccard_pairs
+
+    cand = spark.createDataFrame([(1, 1), (2, 1)], ["id_a", "id_b"])
+    out = ngram_jaccard_pairs(docs, threshold=0.0, candidates=cand).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01])], ["vec_id", "embedding"]
+    )
+    ecand = spark.createDataFrame([(1, 1), (2, 2), (2, 1)], ["id_a", "id_b"])
+    eout = embedding_neardup_pairs(emb, threshold=0.0, candidates=ecand).collect()
+    assert {(r["id_a"], r["id_b"]) for r in eout} == {(1, 2)}

@@ -208,3 +208,86 @@ def test_ivf_stored_probe_prunes_cell_partitions(spark, clustered, tmp_path):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters")[1][:300]
     assert "cell" in seg, seg
+
+
+def _lcg_unit_vectors(n, dim, seed=12345):
+    """Deterministic pseudo-random L2-normalized vectors (no RNG state)."""
+    out, state = [], seed
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        norm = sum(x * x for x in row) ** 0.5
+        out.append([x / norm for x in row])
+    return out
+
+
+def test_large_k_broadcast_codebook_matches_literal(spark, emb, monkeypatch):
+    """Strategy parity at K=80 (just above IVF_LITERAL_K_MAX): the same
+    centroids pushed through the inlined-literal plan and through the
+    broadcast-codebook pandas_udf must assign every vector to the same
+    cell and return identical top-k rows — the UDF reproduces the
+    struct-sort order exactly (desc dot, ties to the larger cell id)."""
+    import yckg_spark.operators.similarity as sim
+
+    cents = _lcg_unit_vectors(80, 64)
+    qs = emb.orderBy("vec_id").limit(5)
+
+    monkeypatch.setattr(sim, "IVF_LITERAL_K_MAX", 10**6)  # force literals
+    lit_assign = {r["vec_id"]: r["cell"] for r in sim.ivf_assign(emb, cents).collect()}
+    lit_topk = sorted(
+        tuple(r) for r in sim.ivf_topk(emb, qs, k=3, nprobe=16, centroids=cents).collect()
+    )
+
+    monkeypatch.setattr(sim, "IVF_LITERAL_K_MAX", 0)  # force broadcast UDF
+    udf_assign = {r["vec_id"]: r["cell"] for r in sim.ivf_assign(emb, cents).collect()}
+    udf_topk = sorted(
+        tuple(r) for r in sim.ivf_topk(emb, qs, k=3, nprobe=16, centroids=cents).collect()
+    )
+
+    assert udf_assign == lit_assign
+    assert len(set(lit_assign.values())) > 1  # the codebook actually partitions
+    assert udf_topk == lit_topk
+
+
+def test_k512_broadcast_codebook_scales(spark, emb):
+    """K=512 auto-selects the broadcast-codebook path (no monkeypatch —
+    512 > IVF_LITERAL_K_MAX): the plan stays O(1) in K so this compiles
+    and runs in seconds where the literal plan ships multi-MB task
+    binaries. Assignments must match an independent driver-side numpy
+    recomputation (same tie-break: desc dot, ties to the larger cell id)."""
+    import numpy as np
+
+    import yckg_spark.operators.similarity as sim
+
+    assert sim.IVF_LITERAL_K_MAX < 512
+    cents = _lcg_unit_vectors(512, 64)
+    got = {r["vec_id"]: r["cell"] for r in sim.ivf_assign(emb, cents).collect()}
+
+    rows = emb.collect()
+    c = np.asarray(cents)
+    for r in rows:
+        scores = c @ np.asarray(r["embedding"], dtype=np.float64)
+        best = int(511 - np.argmax(scores[::-1]))
+        assert got[r["vec_id"]] == best
+    assert len(set(got.values())) > 10
+
+
+def test_k512_stored_index_roundtrip(spark, emb, tmp_path):
+    """Write→read→probe at K=512 through the auto-selected broadcast
+    codebook: the stored probe must equal the in-memory result."""
+    import yckg_spark.operators.similarity as sim
+
+    cents = _lcg_unit_vectors(512, 64)
+    qs = emb.orderBy("vec_id").limit(3)
+    path = str(tmp_path / "ivf512")
+
+    sim.ivf_write_index(emb, path, centroids=cents)
+    stored = sorted(
+        tuple(r) for r in sim.ivf_topk_stored(spark, path, qs, k=3, nprobe=16).collect()
+    )
+    mem = sorted(
+        tuple(r) for r in sim.ivf_topk(emb, qs, k=3, nprobe=16, centroids=cents).collect()
+    )
+    assert stored == mem and len(mem) == 9

@@ -214,6 +214,15 @@ def cmd_dedup(args) -> int:
     n_out = obs.get["n_out"]
     for df in persisted + ([pairs] if n_pairs is not None else []):
         df.unpersist()
+    if args.checkpoint_dir is not None:
+        # the reliable checkpoints only exist to survive executor loss
+        # DURING the components loop; once the output write has committed
+        # they are dead weight (Spark never reaps them —
+        # cleaner.referenceTracking.cleanCheckpoints defaults to false),
+        # so the CLI, as the checkpoint_dir owner, deletes them here
+        from yckg_spark.fsutil import delete as fs_delete
+
+        fs_delete(spark, args.checkpoint_dir, recursive=True)
     n_in = docs.count()
     print(json.dumps({
         "method": args.method, "docs_in": n_in, "docs_kept": n_out,

@@ -30,12 +30,26 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
 
 
 def read_text(spark: SparkSession, path: str) -> str:
+    """Read all of ``path`` as UTF-8 bytes, depending only on Hadoop's own
+    APIs (``org.apache.hadoop.io.IOUtils``) — NOT commons-io, which is an
+    undeclared transitive dep a shaded/slimmed distro may drop. The copy
+    happens entirely JVM-side into a ByteArrayOutputStream (a byte buffer
+    passed from Python through py4j would not see JVM-side mutation);
+    the returned byte[] converts to Python bytes by value."""
     fs, jpath, jvm = _fs(spark, path)
     stream = fs.open(jpath)
-    try:
-        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
+    out = jvm.java.io.ByteArrayOutputStream()
+    # close=True closes both streams, even on error
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, True)
+    return bytes(out.toByteArray()).decode("utf-8")
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    """Delete ``path`` (no-op False if absent) on whatever FS owns it."""
+    fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, recursive))
 
 
 def exists(spark: SparkSession, path: str) -> bool:

@@ -258,6 +258,24 @@ def simhash_pairs(
     )
 
 
+def _candidate_intersections(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """(id_a, id_b, common): shingle-intersection sizes for exactly the
+    candidate pairs — shingles joined onto the pair frame once per side,
+    then an equi-join on (id_b, sh). Row volume through the second join is
+    exactly Σ_pairs |A∩B| (each row IS one common shingle of one pair), so
+    a k-document near-dup cluster costs Σ its candidate pairs' overlaps,
+    never k² as a within-cluster self-join would. Exposed for the row-count
+    test in tests/test_dedup.py."""
+    sh_a = sh.select(F.col("id").alias("id_a"), "sh")
+    sh_b = sh.select(F.col("id").alias("id_b"), "sh")
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, threshold: float = 0.3,
@@ -267,38 +285,45 @@ def ngram_jaccard_pairs(
     |A∩B| from the join, |A|,|B| from per-doc distinct counts.
 
     ``candidates``: optional (id_a, id_b) frame (e.g. ``minhash_lsh_pairs``
-    output) — the verify-LSH-candidates composition for corpus scale. The
-    shingle table is first semi-joined down to ids that appear in some
-    candidate pair, and the scored pairs are semi-joined to the candidate
-    set, so cost is bounded by the candidate volume instead of the full
-    shingle self-join. Without it the full (exact, quadratic-in-bucket)
-    self-join runs — the join key (shingle) is Zipf-skewed, AQE skew-join
-    splits the hot shingles.
+    output) — the verify-LSH-candidates composition for corpus scale.
+    Intersections are computed PER CANDIDATE PAIR: shingles are equi-joined
+    onto the pair frame once per side (``_candidate_intersections``), so
+    cost is Σ_pairs |A∩B| — NOT a shingle self-join within the candidate id
+    set, which would pay Σ_buckets k² inside a k-document dup cluster (the
+    exact case LSH surfaces). Without ``candidates`` the full (exact,
+    quadratic-in-bucket) self-join runs — the join key (shingle) is
+    Zipf-skewed, AQE skew-join splits the hot shingles.
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
     ).distinct()
-    cand = None
     if candidates is not None:
-        # normalize pair orientation to match the a.id < b.id output below
-        cand = candidates.select(
-            F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
-        ).distinct()
+        # normalize pair orientation to the id_a < id_b output contract and
+        # drop degenerate (x, x) pairs an untrusted candidate frame may
+        # carry — brute force can never emit a self-pair
+        cand = (
+            candidates.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
         ids = (
             cand.select(F.col("id_a").alias("id"))
             .unionByName(cand.select(F.col("id_b").alias("id")))
             .distinct()
         )
         sh = sh.join(ids, "id", "left_semi")
+        inter = _candidate_intersections(sh, cand)
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    if cand is not None:
-        inter = inter.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
@@ -328,13 +353,17 @@ def embedding_neardup_pairs(
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if candidates is not None:
-        # normalize orientation to the id_a < id_b contract, then pick the
-        # vectors up via two equi-joins — ids-only until the cosine
+        # normalize orientation to the id_a < id_b contract — and drop
+        # degenerate (x, x) pairs an untrusted candidate frame may carry,
+        # which would emit a cosine-1.0 self-pair the brute id_a < id_b
+        # path can never produce — then pick the vectors up via two
+        # equi-joins, ids-only until the cosine
         pairs = (
             candidates.select(
                 F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"),
             )
+            .filter(F.col("id_a") < F.col("id_b"))
             .distinct()
             .join(a, "id_a")
             .join(b, "id_b")
@@ -375,6 +404,14 @@ def neardup_clusters(
     ``checkpoint_dir`` to use reliable ``checkpoint()`` against that
     HDFS/object-store path instead; the loop then survives executor loss
     at the cost of a write per round.
+
+    CALLERS OWN ``checkpoint_dir`` CLEANUP: ``setCheckpointDir`` is a
+    global SparkContext mutation that persists past this call, and Spark
+    does not reap checkpoint data by default
+    (``spark.cleaner.referenceTracking.cleanCheckpoints`` is false), so
+    each round leaves one RDD checkpoint in the dir. Delete the dir once
+    the downstream write has committed — ``cmd_dedup`` in the CLI does
+    exactly that (cli.py).
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)

@@ -1,17 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic hash-derived feature vector stands in for real decode
-output. Everything Spark-side — schemas, batch iteration, partitioning,
-UDF signatures, output shapes — is real and tested; swapping in Pillow /
-torchaudio later only changes the body of ``_decode_one``.
+Decode coverage: uncompressed 24-bit BMP is decoded FOR REAL
+(``decode_bmp`` — a dependency-free struct parse; the one raster format
+that needs no codec library). Compressed formats (JPEG/PNG/audio/video)
+remain STUBBED — no codec libs in this container: with ``fake=True`` a
+deterministic hash-derived feature vector stands in, with ``fake=False``
+non-BMP payloads raise NotImplementedError. Everything Spark-side —
+schemas, batch iteration, partitioning, UDF signatures, output shapes — is
+real and tested; swapping in Pillow / torchaudio later only widens
+``_decode_one``'s format dispatch.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,12 +55,75 @@ FEATURES_SCHEMA = StructType(
 FEATURE_DIM = 8
 
 
+def is_bmp(payload: bytes | None) -> bool:
+    """True if the payload is an uncompressed 24-bit bottom-up-or-top-down
+    BMP we can decode without any codec library."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return False
+    bpp, compression = struct.unpack_from("<HI", payload, 28)
+    return bpp == 24 and compression == 0
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decode of an uncompressed 24-bit BMP — pure-Python struct
+    parse, no codec libs (BMP is the one raster format that needs none).
+
+    Returns (width, height, FEATURE_DIM channel statistics): mean B/G/R,
+    mean/min/max luma (BT.601 weights), all /255, plus width and height
+    /65536 — deterministic exact arithmetic, recomputable by any oracle
+    from the same bytes. Handles 4-byte row padding and negative
+    (top-down) heights; row order doesn't affect the statistics.
+    """
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    height = abs(height_raw)
+    if width <= 0 or height == 0:
+        raise ValueError("BMP with non-positive dimensions")
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3  # rows padded to 4-byte boundaries
+    need = data_offset + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} bytes < {need}")
+    sum_b = sum_g = sum_r = 0
+    min_luma = float("inf")
+    max_luma = float("-inf")
+    for r in range(height):
+        row = payload[data_offset + r * stride : data_offset + r * stride + row_bytes]
+        for c in range(0, row_bytes, 3):
+            b, g, rr = row[c], row[c + 1], row[c + 2]
+            sum_b += b
+            sum_g += g
+            sum_r += rr
+            luma = 0.299 * rr + 0.587 * g + 0.114 * b
+            min_luma = min(min_luma, luma)
+            max_luma = max(max_luma, luma)
+    n = width * height
+    mean_luma = (0.299 * sum_r + 0.587 * sum_g + 0.114 * sum_b) / n
+    return (
+        width,
+        height,
+        [
+            sum_b / n / 255.0,
+            sum_g / n / 255.0,
+            sum_r / n / 255.0,
+            mean_luma / 255.0,
+            min_luma / 255.0,
+            max_luma / 255.0,
+            width / 65536.0,
+            height / 65536.0,
+        ],
+    )
+
+
 def _decode_one(payload: bytes | None, fake: bool) -> list[float] | None:
     if payload is None:
         return None
     if not fake:
+        if is_bmp(payload):
+            return decode_bmp(payload)[2]
         raise NotImplementedError(
-            "real image/audio decode requires Pillow/torchaudio — not in this container"
+            "real decode beyond uncompressed BMP requires Pillow/torchaudio "
+            "— not in this container"
         )
     # deterministic fake: 8 floats derived from the content hash. 16-bit
     # slices / 2^16 are exactly representable in float32 AND exactly

@@ -268,7 +268,9 @@ def train_ivf_centroids(
 
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """array<struct<d,i>> of dot products against every (normalized)
-    centroid literal — one pure-Column pass, JVM-side."""
+    centroid literal — one pure-Column pass, JVM-side. Small-K only: the
+    plan embeds K×dim literals (see ``_top_cells_expr`` for the large-K
+    strategy)."""
     return F.array(
         *[
             F.struct(
@@ -280,6 +282,65 @@ def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+# Above this K, centroid scoring switches from inlined plan literals to an
+# Arrow-batched pandas_udf matmul against a broadcast numpy codebook: the
+# literal plan is O(K×dim) in size (codegen blows up at the 10³-10⁴ cells a
+# 100-TB corpus wants), the UDF plan is O(1) with the codebook shipped once
+# per executor via sc.broadcast. Tests monkeypatch this to force each path.
+IVF_LITERAL_K_MAX = 64
+
+
+def _top_cells_udf(spark, centroids: list[list[float]], n: int):
+    """pandas_udf: vec -> array<int> of the n nearest cell ids, descending
+    dot product, ties broken toward the LARGER cell id — the exact order
+    ``sort_array(struct<d,i>, asc=False)`` produces, so the two strategies
+    are interchangeable. The matmul is one BLAS call per Arrow batch."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — resolved by the type-hint import below
+
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def top_cells_fn(vs):
+        c = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        scores = x @ c.T
+        # stable argsort over index-reversed columns == desc-by-score with
+        # ties resolved to the larger original index (the struct-sort order)
+        order = np.argsort(-scores[:, ::-1], axis=1, kind="stable")[:, :n]
+        orig = ((c.shape[0] - 1) - order).astype("int32")
+        return pd.Series([row.tolist() for row in orig])
+
+    # explicit Series->Series hints (real objects, not stringified
+    # annotations — `from __future__ import annotations` breaks hint
+    # resolution for function-local imports)
+    top_cells_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf("array<int>")(top_cells_fn)
+
+
+def _top_cells_expr(vec: Column, centroids: list[list[float]], n: int, spark=None) -> Column:
+    """array<int> of the ``n`` nearest (argmax-dot) cell ids for ``vec``.
+
+    K ≤ IVF_LITERAL_K_MAX (or no session handle): inlined centroid
+    literals, pure Column — whole-stage-codegen-friendly where the plan
+    stays small. Larger K: broadcast-codebook pandas_udf (``_top_cells_udf``)
+    — plan size independent of K. Both produce the identical ordering
+    (desc dot, ties to the larger cell id)."""
+    k = len(centroids)
+    n = min(n, k)
+    if k <= IVF_LITERAL_K_MAX or spark is None:
+        return F.slice(
+            F.transform(
+                F.sort_array(_cell_scores(vec, centroids), asc=False),
+                lambda s: s["i"],
+            ),
+            1,
+            n,
+        )
+    return _top_cells_udf(spark, centroids, n)(vec)
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -289,8 +350,9 @@ def ivf_assign(
     """(id, vec, cell): nearest-centroid assignment. At scale ``cell`` is
     the index's partition key — ``ivf_write_index`` stores the corpus
     ``partitionBy("cell")`` and every probe prunes to nprobe/K of the
-    data (``ivf_topk_stored``)."""
-    best = F.sort_array(_cell_scores(F.col(vec_col), centroids), asc=False)[0]["i"]
+    data (``ivf_topk_stored``). Scoring strategy picked by K — inlined
+    literals below IVF_LITERAL_K_MAX, broadcast-codebook matmul above."""
+    best = _top_cells_expr(F.col(vec_col), centroids, 1, emb.sparkSession)[0]
     return emb.select(F.col(id_col), F.col(vec_col), best.alias("cell"))
 
 
@@ -330,13 +392,8 @@ def ivf_topk(
     corpus = ivf_assign(emb, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
     )
-    probe_cells = F.slice(
-        F.transform(
-            F.sort_array(_cell_scores(F.col(vec_col), centroids), asc=False),
-            lambda s: s["i"],
-        ),
-        1,
-        min(nprobe, len(centroids)),
+    probe_cells = _top_cells_expr(
+        F.col(vec_col), centroids, nprobe, queries.sparkSession
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -424,23 +481,25 @@ def ivf_topk_stored(
     partitions are ever read (asserted on the plan's PartitionFilters in
     tests/test_plans.py). The probe itself is the same broadcast hash join
     on ``cell`` as ``ivf_topk``.
+
+    ASSUMES A SMALL QUERY FRAME (it is broadcast anyway): the exploded
+    (query, cell) rows are collected ONCE — that single pass yields both
+    the literal probed-cell set for pruning and a local re-created frame
+    for the join, so the K-centroid scoring of each query runs exactly one
+    time, not once per plan branch.
     """
     corpus, centroids = ivf_read_index(spark, path)
-    probe_cells = F.slice(
-        F.transform(
-            F.sort_array(_cell_scores(F.col(vec_col), centroids), asc=False),
-            lambda s: s["i"],
-        ),
-        1,
-        min(nprobe, len(centroids)),
-    )
+    probe_cells = _top_cells_expr(F.col(vec_col), centroids, nprobe, spark)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(probe_cells).alias("cell"),
     )
-    # driver-side literal cell set -> PartitionFilters on the index scan
-    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    # one collect: literal cell set -> PartitionFilters on the index scan,
+    # and the collected rows become the (broadcast) probe side directly
+    q_rows = q.collect()
+    probed = sorted({r["cell"] for r in q_rows})
+    q = spark.createDataFrame(q_rows, q.schema)
     scored = (
         corpus.filter(F.col("cell").isin(probed))
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
