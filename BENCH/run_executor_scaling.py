@@ -240,7 +240,15 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
         inflating a W1 rep inflates that pair's ratio, so best-pair is
         upward-biased as a pass criterion);
       * pooled per-level minima — min W1 wall vs min W4 wall regardless of
-        window (each side's min is its least-distorted run).
+        window (each side's min is its least-distorted run);
+      * per-worker tail (supplementary) — mean of each worker's LAST 3
+        buckets, both configs: sample-symmetric (3 per worker on both
+        sides), so it removes the ramp-fraction asymmetry (a W=4 worker
+        has only ~7 steady buckets and its JIT/page-cache ramp spans the
+        first 2-3, while W=1 dilutes the same ramp over 31 buckets — the
+        steady mean is structurally biased against W=4). Kept
+        supplementary, not a gate: a W=4 worker's final bucket can
+        overlap co-workers draining (less contention), which flatters it.
     """
     import statistics
 
@@ -263,16 +271,21 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
             and r.get("n_buckets") == current_buckets
         ):
             runs[r["workers"]].append(r)
-    # matched pairs are built per invocation in rep order
-    pairs: list[tuple[dict, dict]] = []
-    by_inv: dict = {}
-    for w in (1, 4):
-        for r in runs[w]:
-            by_inv.setdefault((r.get("invocation"), r.get("rep")), {})[w] = r
-    for key in sorted(by_inv, key=str):
-        d = by_inv[key]
-        if 1 in d and 4 in d:
-            pairs.append((d[1], d[4]))
+
+    def build_pairs(rs_by_w: dict) -> list[tuple[dict, dict]]:
+        # matched pairs are built per invocation in rep order
+        out: list[tuple[dict, dict]] = []
+        by_inv: dict = {}
+        for w in (1, 4):
+            for r in rs_by_w[w]:
+                by_inv.setdefault((r.get("invocation"), r.get("rep")), {})[w] = r
+        for key in sorted(by_inv, key=str):
+            d = by_inv[key]
+            if 1 in d and 4 in d:
+                out.append((d[1], d[4]))
+        return out
+
+    pairs = build_pairs(runs)
 
     best_wall = {w: min(rs, key=lambda r: r["seconds"]) for w, rs in runs.items()}
     min_steady = {
@@ -338,6 +351,21 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
         else None
     )
 
+    # per-worker tail estimator (see docstring): mean of each worker's
+    # last 3 buckets — identical per-worker sample count in both configs
+    def tail_mean(r, k: int = 3) -> float | None:
+        vals: list[float] = []
+        for w in r.get("per_worker", []):
+            if w["steady_s"]:
+                vals.extend(w["steady_s"][-k:])
+        return sum(vals) / len(vals) if vals else None
+
+    matched_tail = [
+        round(ta / tb, 3)
+        for ta, tb in ((tail_mean(a), tail_mean(b)) for a, b in pairs)
+        if ta and tb
+    ]
+
     def stats(vals):
         return {
             "pairs": vals,
@@ -348,6 +376,34 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
 
     raw_stats, steady_stats = stats(matched_raw), stats(matched_steady)
     converged_stats = stats(matched_converged)
+    tail_stats = stats(matched_tail)
+
+    # transparency: every earlier (corpus, layout) config's pairs stay
+    # visible in the summary, so a layout change never hides history
+    prior_configs = []
+    by_cfg: dict = {}
+    for r in all_reps:
+        by_cfg.setdefault((r["total_triples"], r.get("n_buckets")), {1: [], 4: []})[
+            r["workers"]
+        ].append(r)
+    for (corpus, buckets), rs_by_w in sorted(by_cfg.items(), key=str):
+        if corpus == current_corpus and buckets == current_buckets:
+            continue
+        cfg_pairs = build_pairs(rs_by_w)
+        cfg_steady = [
+            round(a["steady_bucket_s_mean"] / b["steady_bucket_s_mean"], 3)
+            for a, b in cfg_pairs
+            if a["steady_bucket_s_mean"] and b["steady_bucket_s_mean"]
+        ]
+        prior_configs.append({
+            "total_triples": corpus,
+            "n_buckets": buckets,
+            "n_pairs": len(cfg_pairs),
+            "steady_pairs": cfg_steady,
+            "steady_median": (
+                round(statistics.median(cfg_steady), 3) if cfg_steady else None
+            ),
+        })
     return {
         "metric": "kg_build_executor_scaling",
         "n_buckets": n_buckets,
@@ -374,6 +430,8 @@ def summarize(reps_path, n_buckets: int, n_business: int) -> dict:
         },
         "efficiency_converged_matched_rep": converged_stats,
         "efficiency_converged_pooled_min": eff_converged_pooled,
+        "efficiency_tail_matched_rep": tail_stats,
+        "prior_configs": prior_configs,
         "passes_north_rule_0.8_raw_median_pair": bool(
             raw_stats["median"] and raw_stats["median"] >= 0.8
         ),
