@@ -31,6 +31,11 @@ from yckg_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# fixture corpus for kg_fixture_build: the tiny smoke fixture only for the
+# tiny sf0.001 dir; everywhere else (sf0.1, synthesized sf1) the bench
+# fixture, so cross-sf headline comparisons hold that term constant
+_FIXTURE = "smoke" if "0.001" in SF_DIR else "bench"
+
 # Shuffle/cache blocks on tmpfs: the sandbox's single virtual disk sustains
 # ~145 MB/s shared across all threads and flatlines any multi-core run;
 # real clusters have per-node NVMe (see BENCH/BASELINE.md).
@@ -57,7 +62,7 @@ def q_kg_fixture_build(spark, _sf_dir):
     from yckg_spark.operators.emit import emit_all
     from yckg_spark.sources.web_pages import parse_records, read_web_pages
 
-    fdir = default_fixture("bench" if SF_DIR.endswith("0.1") else "smoke")
+    fdir = default_fixture(_FIXTURE)
     pages = read_web_pages(spark, f"{fdir}/web_pages.parquet")
     t, _ = emit_all(parse_records(pages, use_extraction=True))
     return dedup_triples(t)
@@ -90,7 +95,7 @@ def main() -> None:
     # fixture generation is one-time input materialization, not engine work
     from fixtures.generate import default_fixture
 
-    default_fixture("bench" if SF_DIR.endswith("0.1") else "smoke")
+    default_fixture(_FIXTURE)
 
     # Min of N interleaved reps: the sandbox host shows 1.2-3x wall-clock
     # noise between identical runs (BENCH/BASELINE.md "Host noise"), so a
