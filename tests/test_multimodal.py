@@ -141,6 +141,111 @@ def test_decode_bmp_top_down_same_stats(spark):
     assert bu == td
 
 
+def _make_wav(n_channels, sample_rate, frames, extra_chunk=False):
+    """Hand-assembled 16-bit PCM RIFF/WAV: ``frames`` is a list of
+    per-frame tuples of ``n_channels`` int16 samples. ``extra_chunk``
+    prepends an odd-sized LIST chunk before fmt/data to exercise the
+    2-byte RIFF chunk alignment walk."""
+    import struct
+
+    data = b"".join(struct.pack(f"<{n_channels}h", *f) for f in frames)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    chunks = b""
+    if extra_chunk:
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+_FRAMES = [(1000, -1000), (-2000, 500), (0, 3000), (32767, -32768)]
+
+
+def test_decode_wav_real_no_fake(spark):
+    """The one codec-free audio container decodes FOR REAL: a
+    hand-assembled stereo 16-bit PCM WAV (with an odd-sized leading LIST
+    chunk ⇒ RIFF pad-byte walk exercised) through ``decode_wav`` and
+    through the full mapInPandas pipeline with ``fake=False`` yields the
+    hand-computed signal statistics."""
+    import pytest as _pytest
+
+    from yckg_spark.operators.multimodal import (
+        FEATURE_DIM,
+        MEDIA_SCHEMA,
+        decode_wav,
+        extract_features,
+        is_wav,
+    )
+
+    payload = _make_wav(2, 8000, _FRAMES, extra_chunk=True)
+    assert is_wav(payload)
+    n_ch, rate, n_frames, feat = decode_wav(payload)
+    assert (n_ch, rate, n_frames) == (2, 8000, 4) and len(feat) == FEATURE_DIM
+
+    flat = [s for f in _FRAMES for s in f]
+    ch0 = [f[0] for f in _FRAMES]  # 1000, -2000, 0, 32767 -> crossings at 0->1, 1->2
+    zcr = sum((a >= 0) != (b >= 0) for a, b in zip(ch0, ch0[1:])) / (len(ch0) - 1)
+    expect = [
+        sum(flat) / len(flat) / 32768.0,
+        (sum(s * s for s in flat) / len(flat)) ** 0.5 / 32768.0,
+        min(flat) / 32768.0,
+        max(flat) / 32768.0,
+        zcr,
+        4 / 16777216.0,
+        2 / 16.0,
+        8000 / 131072.0,
+    ]
+    assert feat == _pytest.approx(expect, rel=1e-12)
+
+    media = spark.createDataFrame(
+        [("w1", "audio", "audio/wav", payload, None, None, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, fake=False).collect()[0]
+    assert row["n_bytes"] == len(payload)
+    assert list(row["feature"]) == _pytest.approx(expect, rel=1e-6)
+
+
+def test_decode_wav_rejects_non_pcm_and_truncated(spark):
+    import struct
+
+    import pytest as _pytest
+
+    from yckg_spark.operators.multimodal import decode_wav, is_wav
+
+    good = _make_wav(1, 8000, [(5,), (-5,)])
+    # flip audio_format from 1 (PCM) to 3 (IEEE float): fmt body starts
+    # after RIFF(12) + "fmt "(4) + size(4)
+    non_pcm = good[:20] + struct.pack("<H", 3) + good[22:]
+    assert not is_wav(non_pcm)
+    with _pytest.raises(ValueError, match="PCM"):
+        decode_wav(non_pcm)
+    # empty data chunk: header ok, no complete frames
+    empty = _make_wav(1, 8000, [])
+    with _pytest.raises(ValueError, match="no complete"):
+        decode_wav(empty)
+
+
+def test_extract_features_mixed_real_formats(spark):
+    """One fake=False pass over a frame mixing both real formats: the BMP
+    row and the WAV row each take their own decode branch."""
+    from yckg_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    media = spark.createDataFrame(
+        [
+            ("b1", "image", "image/bmp", _make_bmp(3, 2, _PX), 3, 2, None),
+            ("w1", "audio", "audio/wav", _make_wav(2, 8000, _FRAMES), None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r["feature"] for r in extract_features(media, fake=False).collect()}
+    assert set(out) == {"b1", "w1"}
+    assert out["b1"] is not None and out["w1"] is not None
+    assert out["b1"] != out["w1"]
+
+
 def test_extract_features_non_bmp_still_raises(spark, media):
     """fake=False remains a declared stub for compressed formats: the PNG/
     JPEG fixture payloads are not decodable BMPs and must raise."""

@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 
-Decode coverage: uncompressed 24-bit BMP is decoded FOR REAL
-(``decode_bmp`` — a dependency-free struct parse; the one raster format
-that needs no codec library). Compressed formats (JPEG/PNG/audio/video)
-remain STUBBED — no codec libs in this container: with ``fake=True`` a
-deterministic hash-derived feature vector stands in, with ``fake=False``
-non-BMP payloads raise NotImplementedError. Everything Spark-side —
-schemas, batch iteration, partitioning, UDF signatures, output shapes — is
-real and tested; swapping in Pillow / torchaudio later only widens
-``_decode_one``'s format dispatch.
+Decode coverage: the two uncompressed container formats that need no
+codec library are decoded FOR REAL — 24-bit BMP rasters (``decode_bmp``)
+and 16-bit PCM RIFF/WAV audio (``decode_wav``), both dependency-free
+struct parses with integer-exact statistics. Compressed formats
+(JPEG/PNG/MP3/video) remain STUBBED — no codec libs in this container:
+with ``fake=True`` a deterministic hash-derived feature vector stands in,
+with ``fake=False`` undecodable payloads raise NotImplementedError.
+Everything Spark-side — schemas, batch iteration, partitioning, UDF
+signatures, output shapes — is real and tested; swapping in Pillow /
+torchaudio later only widens ``_decode_one``'s format dispatch.
 """
 
 from __future__ import annotations
@@ -115,15 +116,92 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     )
 
 
+def _wav_fmt_data(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Walk the RIFF chunk list; return (n_channels, sample_rate,
+    bits_per_sample, data_bytes) for a PCM WAVE, else None. Chunks are
+    2-byte aligned per the RIFF spec (odd sizes carry a pad byte)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or fmt[0] != 1:  # 1 = uncompressed PCM
+        return None
+    return fmt[1], fmt[2], fmt[5], data
+
+
+def is_wav(payload: bytes | None) -> bool:
+    """True if the payload is an uncompressed 16-bit PCM RIFF/WAV we can
+    decode without any codec library."""
+    if payload is None:
+        return False
+    parsed = _wav_fmt_data(payload)
+    return parsed is not None and parsed[2] == 16 and parsed[0] > 0
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """REAL decode of 16-bit PCM RIFF/WAV — pure-Python struct parse, no
+    codec libs (the one audio container that needs none).
+
+    Returns (n_channels, sample_rate, n_frames, FEATURE_DIM signal
+    statistics): mean, RMS, min, max of all samples (each /32768), the
+    zero-crossing rate of channel 0, then n_frames/2^24, n_channels/16,
+    sample_rate/2^17. All sums/extrema/crossings accumulate in exact
+    integer arithmetic before one final float division, so the features
+    are bit-reproducible and recomputable by any oracle from the bytes.
+    """
+    parsed = _wav_fmt_data(payload)
+    if parsed is None or parsed[2] != 16:
+        raise ValueError("not an uncompressed 16-bit PCM WAV")
+    n_ch, rate, _bits, data = parsed
+    if n_ch <= 0 or rate <= 0:
+        raise ValueError("WAV with non-positive channels or sample rate")
+    frame_bytes = 2 * n_ch
+    n_frames = len(data) // frame_bytes
+    if n_frames == 0:
+        raise ValueError("WAV with no complete sample frames")
+    n = n_frames * n_ch
+    samples = struct.unpack_from(f"<{n}h", data, 0)
+    total = sum(samples)
+    sq_total = sum(s * s for s in samples)
+    ch0 = samples[::n_ch]
+    crossings = sum(
+        1 for a, b in zip(ch0, ch0[1:]) if (a >= 0) != (b >= 0)
+    )
+    return (
+        n_ch,
+        rate,
+        n_frames,
+        [
+            total / n / 32768.0,
+            (sq_total / n) ** 0.5 / 32768.0,
+            min(samples) / 32768.0,
+            max(samples) / 32768.0,
+            crossings / max(1, len(ch0) - 1),
+            n_frames / 16777216.0,
+            n_ch / 16.0,
+            rate / 131072.0,
+        ],
+    )
+
+
 def _decode_one(payload: bytes | None, fake: bool) -> list[float] | None:
     if payload is None:
         return None
     if not fake:
         if is_bmp(payload):
             return decode_bmp(payload)[2]
+        if is_wav(payload):
+            return decode_wav(payload)[3]
         raise NotImplementedError(
-            "real decode beyond uncompressed BMP requires Pillow/torchaudio "
-            "— not in this container"
+            "real decode beyond uncompressed BMP/PCM-WAV requires "
+            "Pillow/torchaudio — not in this container"
         )
     # deterministic fake: 8 floats derived from the content hash. 16-bit
     # slices / 2^16 are exactly representable in float32 AND exactly
