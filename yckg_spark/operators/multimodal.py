@@ -1,22 +1,33 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 
-Decode coverage: the two uncompressed container formats that need no
-codec library are decoded FOR REAL — 24-bit BMP rasters (``decode_bmp``)
-and 16-bit PCM RIFF/WAV audio (``decode_wav``), both dependency-free
-struct parses with integer-exact statistics. Compressed formats
-(JPEG/PNG/MP3/video) remain STUBBED — no codec libs in this container:
-with ``fake=True`` a deterministic hash-derived feature vector stands in,
-with ``fake=False`` undecodable payloads raise NotImplementedError.
-Everything Spark-side — schemas, batch iteration, partitioning, UDF
-signatures, output shapes — is real and tested; swapping in Pillow /
-torchaudio later only widens ``_decode_one``'s format dispatch.
+Decode coverage — three formats are decoded FOR REAL, dependency-free:
+
+- 24-bit BMP rasters (``decode_bmp``): pure struct parse.
+- 8-bit PNG, all five scanline filters, gray/RGB/palette/alpha color
+  types (``decode_png``): PNG's compression is DEFLATE, which the
+  Python stdlib ``zlib`` decodes — so even this *compressed* format
+  needs no codec library. Same integer-exact channel statistics as
+  BMP, so one raster encoded both ways yields identical features.
+- 16-bit PCM RIFF/WAV audio (``decode_wav``): pure struct parse.
+
+The remaining formats (JPEG/GIF/MP3/video) stay STUBBED — their codecs
+(DCT+Huffman, LZW, MDCT) have no stdlib decoder and the container has no
+media libs: with ``fake=True`` a deterministic hash-derived feature
+vector stands in, with ``fake=False`` undecodable payloads raise
+NotImplementedError. Everything Spark-side — schemas, batch iteration,
+partitioning, UDF signatures, output shapes — is real and tested;
+swapping in Pillow/torchaudio later only widens ``_decode_one``'s
+format dispatch. ``resize_images(fake=False)`` likewise resamples
+decodable rasters (BMP/PNG in → 24-bit BMP out, nearest-neighbor) for
+real and raises only for undecodable payloads.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -116,6 +127,177 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: 0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Walk PNG chunks, yielding (type, data); verifies each CRC-32."""
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size or pos + 12 + size > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, body
+        if ctype == b"IEND":
+            return
+        pos += 12 + size
+    raise ValueError("PNG ended without IEND chunk")
+
+
+def _png_ihdr(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """(width, height, bit_depth, color_type, interlace) from the IHDR
+    chunk, or None if the payload isn't PNG-shaped. No CRC walk — this
+    backs the cheap ``is_png`` probe."""
+    if payload is None or len(payload) < 33 or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack_from(">II", payload, 16)
+    depth, color, _comp, _filt, interlace = struct.unpack_from("BBBBB", payload, 24)
+    return w, h, depth, color, interlace
+
+
+def is_png(payload: bytes | None) -> bool:
+    """True if the payload is a non-interlaced 8-bit-depth PNG of a color
+    type we decode (gray / RGB / palette / gray+alpha / RGBA). PNG's only
+    compression method is DEFLATE — stdlib ``zlib`` territory — so this
+    needs no codec library despite being a compressed format."""
+    ihdr = _png_ihdr(payload)
+    if ihdr is None:
+        return False
+    w, h, depth, color, interlace = ihdr
+    return w > 0 and h > 0 and depth == 8 and color in _PNG_CHANNELS and interlace == 0
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """Undo PNG per-scanline filtering (types 0-4: None/Sub/Up/Average/
+    Paeth) on the decompressed IDAT stream. 8-bit depth ⇒ the filter
+    unit (bpp) equals the channel count."""
+    stride = width * channels
+    bpp = channels
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG: decompressed data shorter than raster")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _png_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL decode of an 8-bit PNG to a top-down row-major RGB byte
+    string (alpha dropped, gray replicated, palette resolved)."""
+    ihdr = _png_ihdr(payload)
+    if ihdr is None:
+        raise ValueError("not a PNG")
+    width, height, depth, color, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG bit depth {depth} / color type {color}")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if width <= 0 or height <= 0:
+        raise ValueError("PNG with non-positive dimensions")
+    palette: bytes | None = None
+    idat = bytearray()
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat += body
+    channels = _PNG_CHANNELS[color]
+    raster = _png_unfilter(zlib.decompress(bytes(idat)), width, height, channels)
+    if color == 2:
+        return width, height, raster
+    rgb = bytearray(width * height * 3)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        for i, idx in enumerate(raster):
+            rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+    elif color in (0, 4):  # gray (+alpha): replicate luma, drop alpha
+        for i in range(width * height):
+            g = raster[i * channels]
+            rgb[i * 3] = rgb[i * 3 + 1] = rgb[i * 3 + 2] = g
+    else:  # color == 6, RGBA: drop alpha
+        for i in range(width * height):
+            rgb[i * 3 : i * 3 + 3] = raster[i * 4 : i * 4 + 3]
+    return width, height, bytes(rgb)
+
+
+def _rgb_stats(width: int, height: int, rgb: bytes) -> list[float]:
+    """FEATURE_DIM channel statistics over a row-major RGB raster — the
+    exact arithmetic of ``decode_bmp`` (integer channel sums, BT.601
+    luma, one final float division), so the same pixels produce the
+    same features regardless of the container format they arrived in."""
+    sum_b = sum_g = sum_r = 0
+    min_luma = float("inf")
+    max_luma = float("-inf")
+    for i in range(0, width * height * 3, 3):
+        rr, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+        sum_b += b
+        sum_g += g
+        sum_r += rr
+        luma = 0.299 * rr + 0.587 * g + 0.114 * b
+        min_luma = min(min_luma, luma)
+        max_luma = max(max_luma, luma)
+    n = width * height
+    mean_luma = (0.299 * sum_r + 0.587 * sum_g + 0.114 * sum_b) / n
+    return [
+        sum_b / n / 255.0,
+        sum_g / n / 255.0,
+        sum_r / n / 255.0,
+        mean_luma / 255.0,
+        min_luma / 255.0,
+        max_luma / 255.0,
+        width / 65536.0,
+        height / 65536.0,
+    ]
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decode of an 8-bit PNG — chunk walk with CRC-32 verification,
+    stdlib ``zlib`` inflate, all five scanline filters undone, color
+    types 0/2/3/4/6 mapped to RGB (alpha dropped) — then the same
+    FEATURE_DIM statistics as ``decode_bmp``. One raster encoded as both
+    BMP and PNG therefore yields bit-identical features (pinned by
+    test_multimodal's cross-format case)."""
+    width, height, rgb = _png_rgb(payload)
+    return width, height, _rgb_stats(width, height, rgb)
+
+
 def _wav_fmt_data(payload: bytes) -> tuple[int, int, int, bytes] | None:
     """Walk the RIFF chunk list; return (n_channels, sample_rate,
     bits_per_sample, data_bytes) for a PCM WAVE, else None. Chunks are
@@ -197,10 +379,12 @@ def _decode_one(payload: bytes | None, fake: bool) -> list[float] | None:
     if not fake:
         if is_bmp(payload):
             return decode_bmp(payload)[2]
+        if is_png(payload):
+            return decode_png(payload)[2]
         if is_wav(payload):
             return decode_wav(payload)[3]
         raise NotImplementedError(
-            "real decode beyond uncompressed BMP/PCM-WAV requires "
+            "real decode beyond BMP/PNG/PCM-WAV requires "
             "Pillow/torchaudio — not in this container"
         )
     # deterministic fake: 8 floats derived from the content hash. 16-bit
@@ -242,6 +426,76 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+def _bmp_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Extract a top-down row-major RGB byte string from an uncompressed
+    24-bit BMP (inverse of ``_encode_bmp``); handles row padding and
+    bottom-up vs top-down storage."""
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    height = abs(height_raw)
+    if width <= 0 or height == 0:
+        raise ValueError("BMP with non-positive dimensions")
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    if len(payload) < data_offset + stride * height:
+        raise ValueError("truncated BMP")
+    rgb = bytearray(width * height * 3)
+    for r in range(height):
+        src = r if height_raw < 0 else height - 1 - r  # bottom-up unless negative
+        row = payload[data_offset + src * stride : data_offset + src * stride + row_bytes]
+        for c in range(width):
+            b, g, rr = row[c * 3], row[c * 3 + 1], row[c * 3 + 2]
+            base = (r * width + c) * 3
+            rgb[base] = rr
+            rgb[base + 1] = g
+            rgb[base + 2] = b
+    return width, height, bytes(rgb)
+
+
+def _encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Serialize a top-down row-major RGB raster as an uncompressed
+    bottom-up 24-bit BMP (4-byte-padded rows) — the resample output
+    container, chosen because it round-trips through ``decode_bmp``."""
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    pad = b"\x00" * (stride - row_bytes)
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up storage
+        for c in range(width):
+            base = (r * width + c) * 3
+            body += bytes((rgb[base + 2], rgb[base + 1], rgb[base]))
+        body += pad
+    offset = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(hdr + info + body)
+
+
+def _raster_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
+    """(width, height, top-down RGB bytes) for any raster format we decode
+    for real (24-bit BMP, 8-bit PNG), else None."""
+    if is_bmp(payload):
+        return _bmp_rgb(payload)
+    if is_png(payload):
+        return _png_rgb(payload)
+    return None
+
+
+def _nearest_resample(width: int, height: int, rgb: bytes, nw: int, nh: int) -> bytes:
+    """Nearest-neighbor resample of a top-down RGB raster — pure integer
+    arithmetic (pixel-center mapping ⌊(i+0.5)·src/dst⌋ via (2i+1)·src//(2·dst)),
+    deterministic and library-free."""
+    out = bytearray(nw * nh * 3)
+    for y in range(nh):
+        sy = min(height - 1, ((2 * y + 1) * height) // (2 * nh))
+        for x in range(nw):
+            sx = min(width - 1, ((2 * x + 1) * width) // (2 * nw))
+            src = (sy * width + sx) * 3
+            dst = (y * nw + x) * 3
+            out[dst : dst + 3] = rgb[src : src + 3]
+    return bytes(out)
+
+
 def _resize_dims(w: int | None, h: int | None, max_side: int) -> tuple[int, int] | None:
     if not w or not h:
         return None
@@ -252,12 +506,14 @@ def _resize_dims(w: int | None, h: int | None, max_side: int) -> tuple[int, int]
 
 
 def resize_images(media: DataFrame, max_side: int = 256, fake: bool = True) -> DataFrame:
-    """Image resize plumbing over Arrow batches: aspect-preserving target
-    dimensions are computed for real (pure arithmetic); the pixel resample
-    itself is the stubbed step — ``fake=True`` emits a deterministic
-    content-hash placeholder payload sized to the target, ``fake=False``
-    raises until Pillow is swapped in. Rows without dimensions pass through
-    with null payload (the errors-side convention)."""
+    """Image resize over Arrow batches. Aspect-preserving target dims are
+    pure arithmetic; the resample itself is REAL for the rasters we decode
+    (BMP/PNG in → nearest-neighbor → 24-bit BMP out, dims taken from the
+    bytes rather than the metadata columns) when ``fake=False``, and a
+    NotImplementedError stub only for undecodable compressed formats.
+    ``fake=True`` keeps the deterministic content-hash placeholder sized
+    from the metadata dims. Rows without dimensions pass through with
+    null payload (the errors-side convention)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -265,19 +521,33 @@ def resize_images(media: DataFrame, max_side: int = 256, fake: bool = True) -> D
             for mid, w, h, payload in zip(
                 pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
             ):
+                out["media_id"].append(mid)
+                if not fake and payload is not None:
+                    raster = _raster_rgb(bytes(payload))
+                    if raster is None:
+                        raise NotImplementedError(
+                            "real resample beyond BMP/PNG rasters requires "
+                            "Pillow — not in this container"
+                        )
+                    rw, rh, rgb = raster
+                    nw, nh = _resize_dims(rw, rh, max_side)
+                    out["width"].append(nw)
+                    out["height"].append(nh)
+                    if (nw, nh) == (rw, rh):
+                        out["payload"].append(bytes(payload))  # under max: untouched
+                    else:
+                        out["payload"].append(
+                            _encode_bmp(nw, nh, _nearest_resample(rw, rh, rgb, nw, nh))
+                        )
+                    continue
                 dims = _resize_dims(
                     None if pd.isna(w) else int(w), None if pd.isna(h) else int(h), max_side
                 )
-                out["media_id"].append(mid)
                 if dims is None or payload is None:
                     out["width"].append(None)
                     out["height"].append(None)
                     out["payload"].append(None)
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real image resample requires Pillow — not in this container"
-                    )
                 nw, nh = dims
                 seed = hashlib.sha256(payload).digest()
                 fake_px = (seed * ((nw * nh * 3) // len(seed) + 1))[: nw * nh * 3]
