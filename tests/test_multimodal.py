@@ -1,11 +1,12 @@
 """Multimodal plumbing: opaque binary columns, mapInPandas decode/resize,
 frame sampling, metadata aggregation. BMP, PNG (stdlib-zlib inflate +
-unfilter), and 16-bit PCM WAV decode FOR REAL — pinned here against
-hand-computed statistics and a BMP↔PNG cross-format oracle — and the
-real resample path (BMP/PNG → nearest-neighbor → BMP) is format-
-independent. Formats without a stdlib codec (JPEG/GIF/MP3/video) stay
-deterministic fakes; the Spark-side schemas, batch iteration, and
-output shapes are the real contract throughout."""
+unfilter), GIF (hand-rolled variable-width LZW), and 16-bit PCM WAV
+decode FOR REAL — pinned here against hand-computed statistics and
+BMP↔PNG↔GIF cross-format oracles — and the real resample path
+(BMP/PNG/GIF → nearest-neighbor → BMP) is format-independent. Formats
+without a stdlib-expressible codec (JPEG/MP3/video) stay deterministic
+fakes; the Spark-side schemas, batch iteration, and output shapes are
+the real contract throughout."""
 
 import pytest
 
@@ -514,6 +515,213 @@ def test_resize_real_png_downsample_matches_bmp_input(spark):
         [
             ("a", "image", "image/bmp", bmp, 6, 4, None),
             ("b", "image", "image/png", png, 6, 4, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, max_side=3, fake=False).collect()}
+    assert out["a"] == out["b"]
+
+
+# ---------------------------------------------------------------------------
+# GIF: the second compressed format, decoded via hand-rolled LZW
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices, min_code_size):
+    """Real GIF-variant LZW *encoder* (sequence-dict, variable code width,
+    LSB-first packing, clear on table-full) so the decoder is exercised
+    by a genuine compressed stream, not just literal codes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for idx in indices:
+        cand = run + bytes([idx])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        # the decoder grows its table AFTER consuming the code, so the
+        # encoder widens when next_code hits the width ceiling
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == (1 << 12):
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([idx])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(width, height, index_rows, palette, interlace=False,
+              min_code_size=None, extension=False, local_ct=False):
+    """Hand-assembled GIF89a: ``index_rows`` is top-down rows of palette
+    indices; ``palette`` is a list of (r,g,b). Optionally interlaced
+    storage, a graphic-control extension block, and the color table on
+    the image (local) instead of the screen (global)."""
+    import struct
+
+    n = 1
+    while (1 << n) < len(palette):
+        n += 1
+    n = max(n, 1)
+    ct = bytearray()
+    for (r, g, b) in palette:
+        ct += bytes((r, g, b))
+    ct += b"\x00" * (3 * ((1 << n) - len(palette)))
+    mcs = min_code_size if min_code_size is not None else max(2, n)
+
+    out = bytearray(b"GIF89a")
+    screen_flags = (0x80 | (n - 1)) if not local_ct else 0
+    out += struct.pack("<HHBBB", width, height, screen_flags, 0, 0)
+    if not local_ct:
+        out += ct
+    if extension:  # graphic control extension: must be skipped cleanly
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    rows = list(index_rows)
+    if interlace:
+        order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(start, height, step)]
+        rows = [index_rows[r] for r in order]
+    flat = [i for row in rows for i in row]
+    iflags = (0x40 if interlace else 0) | ((0x80 | (n - 1)) if local_ct else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+    if local_ct:
+        out += ct
+    out += bytes([mcs])
+    stream = _lzw_encode(flat, mcs)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+_GIF_PALETTE = [px for row in _PX for px in row]  # 6 colors
+_GIF_INDEX_ROWS = [[0, 1, 2], [3, 4, 5]]  # reproduces _PX exactly
+
+
+def test_decode_gif_matches_bmp_and_png():
+    """Cross-format oracle #2: the _PX raster as GIF (palette + real LZW
+    round-trip) decodes to the same dims and features as BMP and PNG."""
+    from yckg_spark.operators.multimodal import (
+        decode_bmp,
+        decode_gif,
+        decode_png,
+        is_gif,
+    )
+
+    gif = _make_gif(3, 2, _GIF_INDEX_ROWS, _GIF_PALETTE)
+    assert is_gif(gif)
+    assert decode_gif(gif) == decode_bmp(_make_bmp(3, 2, _PX))
+    assert decode_gif(gif) == decode_png(_make_png(3, 2, _px_png_rows(_PX)))
+
+
+def test_decode_gif_variants_same_raster():
+    """Interlaced storage, a skipped GCE extension, and a local color
+    table all decode to the same statistics as the plain encoding."""
+    from yckg_spark.operators.multimodal import decode_gif
+
+    base = decode_gif(_make_gif(3, 2, _GIF_INDEX_ROWS, _GIF_PALETTE))
+    assert decode_gif(
+        _make_gif(3, 2, _GIF_INDEX_ROWS, _GIF_PALETTE, extension=True)
+    ) == base
+    assert decode_gif(
+        _make_gif(3, 2, _GIF_INDEX_ROWS, _GIF_PALETTE, local_ct=True)
+    ) == base
+    # interlace needs height >= 5 to exercise more than one pass
+    rows8 = [[(y * 3 + x) % 6 for x in range(3)] for y in range(8)]
+    plain = decode_gif(_make_gif(3, 8, rows8, _GIF_PALETTE))
+    inter = decode_gif(_make_gif(3, 8, rows8, _GIF_PALETTE, interlace=True))
+    assert inter == plain
+
+
+def test_decode_gif_lzw_table_growth():
+    """A raster long enough to force LZW code-width growth (table past
+    2^(mcs+1) entries) and the KwKwK case still round-trips: the decoded
+    statistics equal the same raster's PNG decode."""
+    from yckg_spark.operators.multimodal import decode_gif, decode_png
+
+    w, h = 64, 16
+    idx_rows = [[(x * x + 3 * y + (x * y) // 7) % 6 for x in range(w)] for y in range(h)]
+    gif = _make_gif(w, h, idx_rows, _GIF_PALETTE)
+    png_rows = [bytes(v for i in row for v in _GIF_PALETTE[i]) for row in idx_rows]
+    assert decode_gif(gif) == decode_png(_make_png(w, h, png_rows))
+
+
+def test_decode_gif_truncated_raises():
+    import pytest as _pytest
+
+    from yckg_spark.operators.multimodal import decode_gif
+
+    gif = _make_gif(3, 2, _GIF_INDEX_ROWS, _GIF_PALETTE)
+    with _pytest.raises(ValueError, match="truncated|image frame|LZW"):
+        decode_gif(gif[: len(gif) // 2])
+
+
+def test_extract_features_gif_real_in_spark(spark):
+    """fake=False over a GIF payload takes the real LZW decode branch in
+    the mapInPandas pipeline."""
+    import pytest as _pytest
+
+    from yckg_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        extract_features,
+    )
+
+    gif = _make_gif(3, 2, _GIF_INDEX_ROWS, _GIF_PALETTE)
+    media = spark.createDataFrame(
+        [("g1", "image", "image/gif", gif, 3, 2, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, fake=False).collect()[0]
+    assert list(row["feature"]) == _pytest.approx(decode_bmp(_make_bmp(3, 2, _PX))[2], rel=1e-6)
+
+
+def test_resize_real_gif_input_matches_bmp_input(spark):
+    """The real resample accepts GIF input and produces the same resized
+    BMP bytes as the equivalent BMP input."""
+    from yckg_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+
+    big_idx = []
+    big_px = []
+    for row_idx, row_px in zip(_GIF_INDEX_ROWS, _PX):
+        di = [i for i in row_idx for _ in (0, 1)]
+        dp = [p for p in row_px for _ in (0, 1)]
+        big_idx.append(di)
+        big_px.append(dp)
+        big_idx.append(di)
+        big_px.append(dp)
+    gif = _make_gif(6, 4, big_idx, _GIF_PALETTE)
+    bmp = _make_bmp(6, 4, big_px)
+    media = spark.createDataFrame(
+        [
+            ("a", "image", "image/gif", gif, 6, 4, None),
+            ("b", "image", "image/bmp", bmp, 6, 4, None),
         ],
         MEDIA_SCHEMA,
     )

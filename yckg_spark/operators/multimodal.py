@@ -1,7 +1,7 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 
-Decode coverage — three formats are decoded FOR REAL, dependency-free:
+Decode coverage — four formats are decoded FOR REAL, dependency-free:
 
 - 24-bit BMP rasters (``decode_bmp``): pure struct parse.
 - 8-bit PNG, all five scanline filters, gray/RGB/palette/alpha color
@@ -9,18 +9,22 @@ Decode coverage — three formats are decoded FOR REAL, dependency-free:
   Python stdlib ``zlib`` decodes — so even this *compressed* format
   needs no codec library. Same integer-exact channel statistics as
   BMP, so one raster encoded both ways yields identical features.
+- GIF87a/GIF89a first frame (``decode_gif``): variable-width LZW is
+  pure bit-twiddling, implemented here directly — the second
+  *compressed* format that needs no codec library. Interlace and
+  local color tables handled.
 - 16-bit PCM RIFF/WAV audio (``decode_wav``): pure struct parse.
 
-The remaining formats (JPEG/GIF/MP3/video) stay STUBBED — their codecs
-(DCT+Huffman, LZW, MDCT) have no stdlib decoder and the container has no
+The remaining formats (JPEG/MP3/video) stay STUBBED — their codecs
+(DCT+Huffman, MDCT) have no stdlib decoder and the container has no
 media libs: with ``fake=True`` a deterministic hash-derived feature
 vector stands in, with ``fake=False`` undecodable payloads raise
 NotImplementedError. Everything Spark-side — schemas, batch iteration,
 partitioning, UDF signatures, output shapes — is real and tested;
 swapping in Pillow/torchaudio later only widens ``_decode_one``'s
 format dispatch. ``resize_images(fake=False)`` likewise resamples
-decodable rasters (BMP/PNG in → 24-bit BMP out, nearest-neighbor) for
-real and raises only for undecodable payloads.
+decodable rasters (BMP/PNG/GIF in → 24-bit BMP out, nearest-neighbor)
+for real and raises only for undecodable payloads.
 """
 
 from __future__ import annotations
@@ -298,6 +302,149 @@ def decode_png(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, _rgb_stats(width, height, rgb)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """GIF-variant LZW decompression — variable code width (min+1 up to
+    12 bits, LSB-first bit packing), clear/end-of-information codes,
+    table rebuild on clear. Pure integer arithmetic, no codec library
+    (LZW has no stdlib decoder, unlike PNG's DEFLATE)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def fresh_table() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh_table()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh_table()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start row, step)
+
+
+def _gif_first_frame(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a GIF87a/GIF89a container to the first image frame's indices
+    resolved through its (local-over-global) color table, as a top-down
+    row-major RGB byte string. Extensions are skipped; interlaced frames
+    are de-interlaced; transparency is ignored (the alpha-drop
+    convention shared with PNG decode)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh, flags = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    global_ct: bytes | None = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_ct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, width, height, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = global_ct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            if width <= 0 or height <= 0:
+                raise ValueError("GIF with non-positive dimensions")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                size = payload[pos]
+                data += payload[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            idx = _gif_lzw_decode(bytes(data), min_code_size, width * height)
+            if len(idx) < width * height:
+                raise ValueError("truncated GIF: too few pixels decoded")
+            if iflags & 0x40:  # de-interlace: rows arrive in 4 passes
+                order = [
+                    r
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, height, step)
+                ]
+                rows = [idx[i * width : (i + 1) * width] for i in range(height)]
+                deinterlaced = bytearray(width * height)
+                for src, dst in enumerate(order):
+                    deinterlaced[dst * width : (dst + 1) * width] = rows[src]
+                idx = deinterlaced
+            rgb = bytearray(width * height * 3)
+            for i in range(width * height):
+                ci = idx[i]
+                if ci * 3 + 3 > len(ct):
+                    raise ValueError("GIF pixel index beyond color table")
+                rgb[i * 3 : i * 3 + 3] = ct[ci * 3 : ci * 3 + 3]
+            return width, height, bytes(rgb)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF without an image frame")
+
+
+def is_gif(payload: bytes | None) -> bool:
+    """True if the payload is a GIF87a/GIF89a we can decode for real —
+    LZW is pure bit-twiddling, so like BMP and PNG this needs no codec
+    library."""
+    return payload is not None and len(payload) >= 13 and payload[:6] in (b"GIF87a", b"GIF89a")
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decode of a GIF's first frame — extension walk, pure-Python
+    variable-width LZW, optional de-interlace, color-table resolution —
+    then the same FEATURE_DIM statistics as ``decode_bmp``/``decode_png``
+    (cross-format identity pinned in test_multimodal)."""
+    width, height, rgb = _gif_first_frame(payload)
+    return width, height, _rgb_stats(width, height, rgb)
+
+
 def _wav_fmt_data(payload: bytes) -> tuple[int, int, int, bytes] | None:
     """Walk the RIFF chunk list; return (n_channels, sample_rate,
     bits_per_sample, data_bytes) for a PCM WAVE, else None. Chunks are
@@ -381,10 +528,12 @@ def _decode_one(payload: bytes | None, fake: bool) -> list[float] | None:
             return decode_bmp(payload)[2]
         if is_png(payload):
             return decode_png(payload)[2]
+        if is_gif(payload):
+            return decode_gif(payload)[2]
         if is_wav(payload):
             return decode_wav(payload)[3]
         raise NotImplementedError(
-            "real decode beyond BMP/PNG/PCM-WAV requires "
+            "real decode beyond BMP/PNG/GIF/PCM-WAV requires "
             "Pillow/torchaudio — not in this container"
         )
     # deterministic fake: 8 floats derived from the content hash. 16-bit
@@ -473,11 +622,13 @@ def _encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
 
 def _raster_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
     """(width, height, top-down RGB bytes) for any raster format we decode
-    for real (24-bit BMP, 8-bit PNG), else None."""
+    for real (24-bit BMP, 8-bit PNG, GIF first frame), else None."""
     if is_bmp(payload):
         return _bmp_rgb(payload)
     if is_png(payload):
         return _png_rgb(payload)
+    if is_gif(payload):
+        return _gif_first_frame(payload)
     return None
 
 
@@ -508,7 +659,7 @@ def _resize_dims(w: int | None, h: int | None, max_side: int) -> tuple[int, int]
 def resize_images(media: DataFrame, max_side: int = 256, fake: bool = True) -> DataFrame:
     """Image resize over Arrow batches. Aspect-preserving target dims are
     pure arithmetic; the resample itself is REAL for the rasters we decode
-    (BMP/PNG in → nearest-neighbor → 24-bit BMP out, dims taken from the
+    (BMP/PNG/GIF in → nearest-neighbor → 24-bit BMP out, dims taken from the
     bytes rather than the metadata columns) when ``fake=False``, and a
     NotImplementedError stub only for undecodable compressed formats.
     ``fake=True`` keeps the deterministic content-hash placeholder sized
@@ -526,7 +677,7 @@ def resize_images(media: DataFrame, max_side: int = 256, fake: bool = True) -> D
                     raster = _raster_rgb(bytes(payload))
                     if raster is None:
                         raise NotImplementedError(
-                            "real resample beyond BMP/PNG rasters requires "
+                            "real resample beyond BMP/PNG/GIF rasters requires "
                             "Pillow — not in this container"
                         )
                     rw, rh, rgb = raster
