@@ -727,3 +727,104 @@ def test_resize_real_gif_input_matches_bmp_input(spark):
     )
     out = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, max_side=3, fake=False).collect()}
     assert out["a"] == out["b"]
+
+
+# ---------------------------------------------------------------------------
+# WAV beyond 16-bit PCM: 8-bit PCM and G.711 a-law / mu-law
+# ---------------------------------------------------------------------------
+
+
+def _make_wav_raw(tag, n_channels, sample_rate, bits, data):
+    """RIFF/WAV container around arbitrary sample bytes with a given
+    format tag and bit depth."""
+    import struct
+
+    block = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", tag, n_channels, sample_rate,
+        sample_rate * block, block, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_expansion_anchor_values():
+    """The ITU G.711 expansions hit the published table extremes: mu-law
+    0xFF is digital zero / 0x80 and 0x00 are ±32124; a-law 0x55/0xD5 are
+    ±8 (no true zero) and 0x2A/0xAA are ±32256."""
+    from yckg_spark.operators.multimodal import _alaw_expand, _ulaw_expand
+
+    assert _ulaw_expand(0xFF) == 0
+    assert _ulaw_expand(0x80) == 32124
+    assert _ulaw_expand(0x00) == -32124
+    assert _alaw_expand(0x55) == 8
+    assert _alaw_expand(0xD5) == -8
+    assert _alaw_expand(0x2A) == 32256
+    assert _alaw_expand(0xAA) == -32256
+    # the expansion is sign-antisymmetric across the sign bit
+    for i in range(128):
+        assert _ulaw_expand(i) == -_ulaw_expand(i | 0x80)
+        assert _alaw_expand(i | 0x80) == -_alaw_expand(i)
+
+
+def test_decode_wav_8bit_pcm_matches_widened_16bit():
+    """8-bit unsigned PCM decodes to the same statistics as the same
+    signal stored as 16-bit PCM with samples (b-128)*256."""
+    from yckg_spark.operators.multimodal import decode_wav, is_wav
+
+    import struct
+
+    raw = bytes([0, 64, 128, 192, 255, 10, 250, 128])
+    wav8 = _make_wav_raw(1, 1, 8000, 8, raw)
+    wide = struct.pack("<8h", *((b - 128) * 256 for b in raw))
+    wav16 = _make_wav_raw(1, 1, 8000, 16, wide)
+    assert is_wav(wav8) and is_wav(wav16)
+    assert decode_wav(wav8) == decode_wav(wav16)
+
+
+def test_decode_wav_g711_matches_expanded_pcm():
+    """A mu-law (and a-law) stream decodes to the same statistics as the
+    16-bit PCM stream of its table-expanded samples — the container
+    changes, the linearized signal doesn't."""
+    from yckg_spark.operators.multimodal import (
+        _alaw_expand,
+        _ulaw_expand,
+        decode_wav,
+        is_wav,
+    )
+
+    import struct
+
+    raw = bytes([0xFF, 0x80, 0x00, 0x3C, 0xB7, 0xE1, 0x12, 0x9A])
+    for tag, expand in ((7, _ulaw_expand), (6, _alaw_expand)):
+        wav = _make_wav_raw(tag, 2, 8000, 8, raw)
+        assert is_wav(wav)
+        pcm = struct.pack("<8h", *(expand(b) for b in raw))
+        wav16 = _make_wav_raw(1, 2, 8000, 16, pcm)
+        assert decode_wav(wav) == decode_wav(wav16)
+
+
+def test_decode_wav_g711_in_spark(spark):
+    """fake=False routes a mu-law WAV through the real decode branch."""
+    from yckg_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_wav,
+        extract_features,
+    )
+    import pytest as _pytest
+
+    wav = _make_wav_raw(7, 1, 8000, 8, bytes([0xFF, 0x80, 0x00, 0x42]))
+    media = spark.createDataFrame(
+        [("u1", "audio", "audio/basic", wav, None, None, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, fake=False).collect()[0]
+    assert list(row["feature"]) == _pytest.approx(decode_wav(wav)[3], rel=1e-6)
+
+
+def test_is_wav_still_rejects_unknown_tags():
+    from yckg_spark.operators.multimodal import is_wav
+
+    # IEEE float (tag 3) and 24-bit PCM stay out of the decodable set
+    assert not is_wav(_make_wav_raw(3, 1, 8000, 32, b"\x00" * 8))
+    assert not is_wav(_make_wav_raw(1, 1, 8000, 24, b"\x00" * 6))

@@ -13,7 +13,8 @@ Decode coverage — four formats are decoded FOR REAL, dependency-free:
   pure bit-twiddling, implemented here directly — the second
   *compressed* format that needs no codec library. Interlace and
   local color tables handled.
-- 16-bit PCM RIFF/WAV audio (``decode_wav``): pure struct parse.
+- RIFF/WAV audio (``decode_wav``): 8/16-bit integer PCM (pure struct
+  parse) plus G.711 a-law/mu-law (pure ITU table expansion).
 
 The remaining formats (JPEG/MP3/video) stay STUBBED — their codecs
 (DCT+Huffman, MDCT) have no stdlib decoder and the container has no
@@ -445,10 +446,44 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, _rgb_stats(width, height, rgb)
 
 
-def _wav_fmt_data(payload: bytes) -> tuple[int, int, int, bytes] | None:
-    """Walk the RIFF chunk list; return (n_channels, sample_rate,
-    bits_per_sample, data_bytes) for a PCM WAVE, else None. Chunks are
-    2-byte aligned per the RIFF spec (odd sizes carry a pad byte)."""
+# WAVE format tags we decode: 1 = integer PCM, 6 = G.711 a-law, 7 = G.711
+# mu-law. The G.711 expansions are pure table arithmetic (ITU-T G.711),
+# no codec library involved.
+_WAV_FORMATS = (1, 6, 7)
+
+
+def _ulaw_expand(u: int) -> int:
+    """ITU-T G.711 mu-law byte → linear int16 sample."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return -sample if sign else sample
+
+
+def _alaw_expand(a: int) -> int:
+    """ITU-T G.711 a-law byte → linear int16 sample."""
+    a ^= 0x55
+    sign = a & 0x80
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    if exponent == 0:
+        sample = (mantissa << 4) + 8
+    else:
+        sample = ((mantissa << 4) + 0x108) << (exponent - 1)
+    return -sample if sign else sample
+
+
+_ULAW_TABLE = [_ulaw_expand(i) for i in range(256)]
+_ALAW_TABLE = [_alaw_expand(i) for i in range(256)]
+
+
+def _wav_fmt_data(payload: bytes) -> tuple[int, int, int, int, bytes] | None:
+    """Walk the RIFF chunk list; return (format_tag, n_channels,
+    sample_rate, bits_per_sample, data_bytes) for a WAVE whose format tag
+    we know, else None. Chunks are 2-byte aligned per the RIFF spec (odd
+    sizes carry a pad byte)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, fmt, data = 12, None, None
@@ -460,23 +495,37 @@ def _wav_fmt_data(payload: bytes) -> tuple[int, int, int, bytes] | None:
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
-    if fmt is None or data is None or fmt[0] != 1:  # 1 = uncompressed PCM
+    if fmt is None or data is None or fmt[0] not in _WAV_FORMATS:
         return None
-    return fmt[1], fmt[2], fmt[5], data
+    return fmt[0], fmt[1], fmt[2], fmt[5], data
+
+
+def _wav_decodable(parsed: tuple[int, int, int, int, bytes] | None) -> bool:
+    if parsed is None:
+        return False
+    tag, n_ch, rate, bits, _data = parsed
+    if n_ch <= 0 or rate <= 0:
+        return False
+    if tag == 1:
+        return bits in (8, 16)
+    return bits == 8  # G.711 is always 8-bit bytes
 
 
 def is_wav(payload: bytes | None) -> bool:
-    """True if the payload is an uncompressed 16-bit PCM RIFF/WAV we can
-    decode without any codec library."""
+    """True if the payload is a RIFF/WAV we decode without any codec
+    library: 8/16-bit integer PCM, or G.711 a-law/mu-law (pure table
+    expansion)."""
     if payload is None:
         return False
-    parsed = _wav_fmt_data(payload)
-    return parsed is not None and parsed[2] == 16 and parsed[0] > 0
+    return _wav_decodable(_wav_fmt_data(payload))
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """REAL decode of 16-bit PCM RIFF/WAV — pure-Python struct parse, no
-    codec libs (the one audio container that needs none).
+    """REAL decode of RIFF/WAV audio — pure-Python struct parse plus,
+    for G.711, the ITU expansion tables; no codec libs. Formats: 16-bit
+    and 8-bit integer PCM (tag 1), a-law (tag 6), mu-law (tag 7); all
+    are widened to the linear int16 range before the statistics, so the
+    same signal carried in any of them yields comparable features.
 
     Returns (n_channels, sample_rate, n_frames, FEATURE_DIM signal
     statistics): mean, RMS, min, max of all samples (each /32768), the
@@ -486,17 +535,23 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
     are bit-reproducible and recomputable by any oracle from the bytes.
     """
     parsed = _wav_fmt_data(payload)
-    if parsed is None or parsed[2] != 16:
-        raise ValueError("not an uncompressed 16-bit PCM WAV")
-    n_ch, rate, _bits, data = parsed
-    if n_ch <= 0 or rate <= 0:
-        raise ValueError("WAV with non-positive channels or sample rate")
-    frame_bytes = 2 * n_ch
+    if not _wav_decodable(parsed):
+        raise ValueError("not a PCM or G.711 WAV we can decode")
+    tag, n_ch, rate, bits, data = parsed
+    sample_bytes = bits // 8
+    frame_bytes = sample_bytes * n_ch
     n_frames = len(data) // frame_bytes
     if n_frames == 0:
         raise ValueError("WAV with no complete sample frames")
     n = n_frames * n_ch
-    samples = struct.unpack_from(f"<{n}h", data, 0)
+    if tag == 1 and bits == 16:
+        samples = struct.unpack_from(f"<{n}h", data, 0)
+    elif tag == 1:  # 8-bit PCM is unsigned, 128-centred; widen to int16
+        samples = tuple((b - 128) * 256 for b in data[:n])
+    elif tag == 7:
+        samples = tuple(_ULAW_TABLE[b] for b in data[:n])
+    else:  # tag == 6
+        samples = tuple(_ALAW_TABLE[b] for b in data[:n])
     total = sum(samples)
     sq_total = sum(s * s for s in samples)
     ch0 = samples[::n_ch]
