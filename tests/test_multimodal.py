@@ -321,17 +321,32 @@ def _make_png(width, height, raster_rows, color_type=2, filters=None,
               palette=None, bit_depth=8, interlace=0):
     """Hand-assembled PNG: ``raster_rows`` is ``height`` rows of raw
     channel bytes (already channel-packed per ``color_type``);
-    ``filters`` picks the per-row filter type (default all 0)."""
+    ``filters`` picks the per-row filter type (default all 0).
+    ``interlace=1`` stores a genuine Adam7 pass sequence (filter 0)."""
     import struct
     import zlib
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    filters = filters or [0] * height
-    prev = bytes(width * channels)
-    stream = bytearray()
-    for ftype, row in zip(filters, raster_rows):
-        stream += bytes([ftype]) + _filter_line(ftype, bytes(row), prev, channels)
-        prev = bytes(row)
+    if interlace == 1:
+        stream = bytearray()
+        passes = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+                  (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+        for x0, dx, y0, dy in passes:
+            for y in range(y0, height, dy):
+                row = raster_rows[y]
+                line = b"".join(
+                    bytes(row[x * channels : (x + 1) * channels])
+                    for x in range(x0, width, dx)
+                )
+                if line:
+                    stream += b"\x00" + line
+    else:
+        filters = filters or [0] * height
+        prev = bytes(width * channels)
+        stream = bytearray()
+        for ftype, row in zip(filters, raster_rows):
+            stream += bytes([ftype]) + _filter_line(ftype, bytes(row), prev, channels)
+            prev = bytes(row)
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -414,7 +429,7 @@ def test_is_png_rejects_unsupported_and_corrupt():
     good = _make_png(3, 2, rows)
     assert is_png(good)
     assert not is_png(_make_png(3, 2, rows, bit_depth=16))   # 16-bit depth
-    assert not is_png(_make_png(3, 2, rows, interlace=1))    # Adam7
+    assert not is_png(_make_png(3, 2, rows, interlace=3))    # unknown method
     assert not is_png(b"\x89PNG-fake-1")                     # bad signature
     # flip one IDAT byte: CRC must catch it
     idat_pos = good.index(b"IDAT") + 4
@@ -828,3 +843,25 @@ def test_is_wav_still_rejects_unknown_tags():
     # IEEE float (tag 3) and 24-bit PCM stay out of the decodable set
     assert not is_wav(_make_wav_raw(3, 1, 8000, 32, b"\x00" * 8))
     assert not is_wav(_make_wav_raw(1, 1, 8000, 24, b"\x00" * 6))
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7-interlaced storage decodes to the same raster as sequential:
+    a 9x9 image (all seven passes non-empty, ragged edges) and the small
+    3x2 case both match their non-interlaced twins."""
+    from yckg_spark.operators.multimodal import decode_png, is_png
+
+    for w, h in ((9, 9), (3, 2), (8, 8), (1, 1)):
+        rows = [
+            bytes((x * 31 + y * 17 + c * 7) % 256 for x in range(w) for c in range(3))
+            for y in range(h)
+        ]
+        seq = _make_png(w, h, rows)
+        inter = _make_png(w, h, rows, interlace=1)
+        assert is_png(inter)
+        assert decode_png(inter) == decode_png(seq)
+    # gray + interlace: channel mapping composes with deinterlacing
+    gray_rows = [bytes((x * 13 + y * 5) % 256 for x in range(9)) for y in range(9)]
+    assert decode_png(_make_png(9, 9, gray_rows, color_type=0, interlace=1)) == decode_png(
+        _make_png(9, 9, gray_rows, color_type=0)
+    )

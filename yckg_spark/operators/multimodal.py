@@ -170,15 +170,16 @@ def _png_ihdr(payload: bytes) -> tuple[int, int, int, int, int] | None:
 
 
 def is_png(payload: bytes | None) -> bool:
-    """True if the payload is a non-interlaced 8-bit-depth PNG of a color
-    type we decode (gray / RGB / palette / gray+alpha / RGBA). PNG's only
-    compression method is DEFLATE — stdlib ``zlib`` territory — so this
-    needs no codec library despite being a compressed format."""
+    """True if the payload is an 8-bit-depth PNG of a color type we
+    decode (gray / RGB / palette / gray+alpha / RGBA), sequential or
+    Adam7-interlaced. PNG's only compression method is DEFLATE — stdlib
+    ``zlib`` territory — so this needs no codec library despite being a
+    compressed format."""
     ihdr = _png_ihdr(payload)
     if ihdr is None:
         return False
     w, h, depth, color, interlace = ihdr
-    return w > 0 and h > 0 and depth == 8 and color in _PNG_CHANNELS and interlace == 0
+    return w > 0 and h > 0 and depth == 8 and color in _PNG_CHANNELS and interlace in (0, 1)
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
@@ -222,17 +223,57 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
     return bytes(out)
 
 
+# Adam7 pass geometry: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = (
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """Reassemble an Adam7-interlaced PNG: each pass is an independent
+    sub-image with its own filtered scanlines; unfilter each and scatter
+    its pixels to their grid positions."""
+    full = bytearray(width * height * channels)
+    pos = 0
+    for x0, dx, y0, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue  # empty pass at this image size
+        stride = pw * channels
+        chunk = raw[pos : pos + (stride + 1) * ph]
+        pos += (stride + 1) * ph
+        sub = _png_unfilter(chunk, pw, ph, channels)
+        for py in range(ph):
+            y = y0 + py * dy
+            for px in range(pw):
+                x = x0 + px * dx
+                s = (py * pw + px) * channels
+                d = (y * width + x) * channels
+                full[d : d + channels] = sub[s : s + channels]
+    if pos > len(raw):
+        raise ValueError("truncated PNG: interlaced data shorter than passes")
+    return bytes(full)
+
+
 def _png_rgb(payload: bytes) -> tuple[int, int, bytes]:
     """REAL decode of an 8-bit PNG to a top-down row-major RGB byte
-    string (alpha dropped, gray replicated, palette resolved)."""
+    string (alpha dropped, gray replicated, palette resolved); handles
+    both sequential and Adam7-interlaced storage."""
     ihdr = _png_ihdr(payload)
     if ihdr is None:
         raise ValueError("not a PNG")
     width, height, depth, color, interlace = ihdr
     if depth != 8 or color not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG bit depth {depth} / color type {color}")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if width <= 0 or height <= 0:
         raise ValueError("PNG with non-positive dimensions")
     palette: bytes | None = None
@@ -243,7 +284,11 @@ def _png_rgb(payload: bytes) -> tuple[int, int, bytes]:
         elif ctype == b"IDAT":
             idat += body
     channels = _PNG_CHANNELS[color]
-    raster = _png_unfilter(zlib.decompress(bytes(idat)), width, height, channels)
+    inflated = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        raster = _png_deinterlace(inflated, width, height, channels)
+    else:
+        raster = _png_unfilter(inflated, width, height, channels)
     if color == 2:
         return width, height, raster
     rgb = bytearray(width * height * 3)
