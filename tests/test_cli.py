@@ -192,3 +192,26 @@ def test_cli_dedup_checkpoint_dir_cleaned_after_commit(spark, tmp_path, capsys):
     assert kept == {1, 3}
     # the reliable path ran (the dir was created) and was cleaned after commit
     assert not os.path.exists(ckpt), "checkpoint dir must be deleted post-commit"
+
+
+def test_cli_snapshots_and_time_travel_query(spark, tmp_path, capsys, smoke_fixture_dir):
+    """`snapshots` lists the commit lineage and `query --as-of-sequence`
+    runs a CQ against the historical table state — the Iceberg
+    VERSION AS OF read through the CLI surface."""
+    kg = str(tmp_path / "kg_tt")
+    assert main(["build", "--input", f"{smoke_fixture_dir}/web_pages.parquet",
+                 "--output", kg, "--n-buckets", "2", "--skip-extraction"]) == 0
+    capsys.readouterr()
+
+    assert main(["snapshots", "--input", kg]) == 0
+    snaps = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["snapshots"]
+    assert [s["sequence_number"] for s in snaps] == [1, 2]
+
+    assert main(["query", "--input", kg, "--cq", "cq6",
+                 "--as-of-sequence", "1"]) == 0
+    v1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v1["as_of_sequence"] == 1 and len(v1["rows"]) == 1
+    assert main(["query", "--input", kg, "--cq", "cq6"]) == 0
+    latest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # half the corpus vs all of it: the historical average must differ
+    assert v1["rows"][0]["average_rating"] != latest["rows"][0]["average_rating"]

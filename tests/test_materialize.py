@@ -201,3 +201,48 @@ def test_salted_agg_matches_plain(spark, pages):
     assert plain == salted
     dv = {r["predicate"] for r in salted_distinct_values(t, "predicate").collect()}
     assert dv == {p for p, _ in plain}
+
+
+def test_time_travel_reads(spark, pages, tmp_path):
+    """Snapshot time-travel over the append-only bucket layout: a read as
+    of commit N sees exactly the buckets committed by then, a resumed
+    run extends the sequence, and the latest read equals the full build.
+    Mirrors Iceberg VERSION AS OF / TIMESTAMP AS OF / snapshots table."""
+    from yckg_spark.materialize import snapshots
+
+    out = str(tmp_path / "kg_tt")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, pages, out, n_buckets=4, use_extraction=False, fail_after=2)
+    snaps = snapshots(spark, out).collect()
+    assert [r["sequence_number"] for r in snaps] == [1, 2]
+
+    # as-of the first commit: only that bucket's partition is read
+    first_bucket = snaps[0]["bucket"]
+    v1 = read_triples(spark, out, as_of_sequence=1)
+    assert set(v1.select("bucket").distinct().toPandas()["bucket"]) == {first_bucket}
+    direct = spark.read.parquet(os.path.join(out, "triples", f"bucket={first_bucket}"))
+    assert v1.count() == direct.count()
+
+    # resume: the sequence keeps counting past the crash
+    run_resumable(spark, pages, out, n_buckets=4, use_extraction=False)
+    snaps2 = snapshots(spark, out).collect()
+    assert [r["sequence_number"] for r in snaps2] == [1, 2, 3, 4]
+
+    # as-of the pre-crash state is unchanged by the resume
+    v2 = read_triples(spark, out, as_of_sequence=2)
+    assert set(v2.select("bucket").distinct().toPandas()["bucket"]) == {
+        r["bucket"] for r in snaps
+    }
+    # timestamp travel to commit 2's own timestamp includes commits 1-2
+    ts2 = snaps2[1]["committed_at_ms"]
+    vt = read_triples(spark, out, as_of_timestamp_ms=ts2)
+    assert {r["bucket"] for r in vt.select("bucket").distinct().collect()} <= {
+        r["bucket"] for r in snaps2 if r["committed_at_ms"] <= ts2
+    }
+    # latest read == full store
+    latest = read_triples(spark, out)
+    assert read_triples(spark, out, as_of_sequence=4).count() == latest.count()
+
+    # a bound before the first snapshot is an error, as in Iceberg
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_triples(spark, out, as_of_sequence=0)

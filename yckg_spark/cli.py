@@ -134,11 +134,34 @@ def cmd_query(args) -> int:
               file=sys.stderr)
         return 2
     spark = _spark(args)
-    triples = dedup_triples(read_triples(spark, args.input))
+    triples = dedup_triples(
+        read_triples(
+            spark,
+            args.input,
+            as_of_sequence=args.as_of_sequence,
+            as_of_timestamp_ms=args.as_of_timestamp_ms,
+        )
+    )
     register(spark, triples)
     df = ALL_CQS[args.cq](spark)
     rows = [r.asDict() for r in df.limit(args.limit).collect()]
-    print(json.dumps({"cq": args.cq, "rows": rows}, default=str))
+    out = {"cq": args.cq, "rows": rows}
+    if args.as_of_sequence is not None:
+        out["as_of_sequence"] = args.as_of_sequence
+    if args.as_of_timestamp_ms is not None:
+        out["as_of_timestamp_ms"] = args.as_of_timestamp_ms
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_snapshots(args) -> int:
+    """Print the store's commit lineage (the Iceberg snapshots metadata
+    table equivalent): one row per bucket commit, ordered by sequence."""
+    from yckg_spark.materialize import snapshots
+
+    spark = _spark(args)
+    rows = [r.asDict() for r in snapshots(spark, args.input).collect()]
+    print(json.dumps({"snapshots": rows}, default=str))
     return 0
 
 
@@ -372,6 +395,10 @@ def make_parser() -> argparse.ArgumentParser:
     e.add_argument("--output", required=True)
     e.set_defaults(fn=cmd_export_nt)
 
+    sn = sub.add_parser("snapshots", help="commit lineage (snapshot metadata table)")
+    sn.add_argument("--input", required=True, help="built triple-store dir")
+    sn.set_defaults(fn=cmd_snapshots)
+
     cp = sub.add_parser("compact", help="global dedup + canonical store re-layout")
     cp.add_argument("--input", required=True, help="dir containing a triples/ output")
     cp.add_argument("--output", required=True)
@@ -388,6 +415,10 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--input", required=True, help="built triple-store dir")
     q.add_argument("--cq", required=True, help="cq1..cq16")
     q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--as-of-sequence", type=int, default=None,
+                   help="time-travel: read the store as of this commit sequence")
+    q.add_argument("--as-of-timestamp-ms", type=int, default=None,
+                   help="time-travel: read the store as of this epoch-ms commit time")
     q.set_defaults(fn=cmd_query)
 
     st = sub.add_parser("stream", help="incremental build from a landing dir")

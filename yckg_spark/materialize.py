@@ -12,6 +12,16 @@ never duplicates it. Restart anti-joins the manifest (north_rule:
 "resumable from checkpoint with per-partition lineage + metrics"; the
 reference just re-appends and risks duplicates — create_yelp_nt_files.py:31
 'at' mode).
+
+Snapshot time-travel is emulated too: every commit carries a monotone
+``sequence_number`` and ``committed_at_ms``, and because committed buckets
+are immutable the table state as of any commit is reconstructible as the
+union of the bucket partitions at or below the bound — ``read_triples(...,
+as_of_sequence= / as_of_timestamp_ms=)`` is the Iceberg ``VERSION AS OF`` /
+``TIMESTAMP AS OF`` read, and ``snapshots()`` the snapshots metadata table.
+What this emulation still lacks vs real Iceberg: travel across overwrites
+of the same bucket (snapshot expiry semantics) and hidden partition
+transforms beyond the explicit bucket/predicate layout.
 """
 
 from __future__ import annotations
@@ -79,7 +89,13 @@ def run_resumable(
     from yckg_spark.fsutil import mkdirs, write_text
 
     mkdirs(spark, _manifest_path(out_dir))
-    done = completed_buckets(spark, out_dir)
+    prior = read_manifest(spark, out_dir)
+    done = set()
+    seq_base = 0
+    if prior is not None:
+        done = {r["bucket"] for r in prior.select("bucket").collect()}
+        if "sequence_number" in prior.columns:
+            seq_base = prior.agg(F.max("sequence_number")).collect()[0][0] or 0
     if "bucket" in pages.columns:
         # pre-bucketed corpus (Iceberg bucket(url) emulation): the bucket
         # filter is a PartitionFilter, so each commit scans ONLY its own
@@ -141,6 +157,15 @@ def run_resumable(
             "counts_s": round(t_counts, 3),
             "triples_per_sec": round(n_triples / elapsed, 1) if elapsed else None,
             "commit_id": f"b{b}-{n_pages}-{n_triples}",
+            # snapshot lineage for time-travel reads (Iceberg snapshot id /
+            # commit timestamp equivalents). Buckets are immutable once
+            # committed, so the table state as of sequence N is exactly the
+            # union of buckets with sequence <= N. Within one writer the
+            # sequence is a total order; concurrent shard writers can tie
+            # (they'd race Iceberg's optimistic commit too) — as-of reads
+            # then include all tied commits, which is still deterministic.
+            "sequence_number": seq_base + commits + 1,
+            "committed_at_ms": int(time.time() * 1000),
         }
         # manifest row written only after the data commit succeeded
         write_text(
@@ -164,8 +189,45 @@ def run_resumable(
     }
 
 
-def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "triples"))
+def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The store's commit lineage ordered by sequence — the emulation of
+    Iceberg's ``<table>.snapshots`` metadata table. One row per bucket
+    commit with its metrics, sequence number, and commit timestamp."""
+    m = read_manifest(spark, out_dir)
+    if m is None:
+        raise ValueError(f"no manifest under {out_dir}")
+    if "sequence_number" not in m.columns:
+        raise ValueError("store predates snapshot lineage (no sequence_number)")
+    return m.orderBy("sequence_number")
+
+
+def read_triples(
+    spark: SparkSession,
+    out_dir: str,
+    as_of_sequence: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Read the triple store, optionally time-travelled to an earlier
+    snapshot — the Iceberg ``VERSION AS OF`` / ``TIMESTAMP AS OF`` read,
+    emulated over the append-only bucket layout: committed buckets are
+    immutable, so the state as of a commit is the union of the bucket
+    partitions whose manifest row has ``sequence_number`` (or
+    ``committed_at_ms``) at or below the bound. The historical read is
+    partition-pruned at the path level — later buckets are never opened.
+    """
+    tdir = os.path.join(out_dir, "triples")
+    if as_of_sequence is None and as_of_timestamp_ms is None:
+        return spark.read.parquet(tdir)
+    snaps = snapshots(spark, out_dir)
+    if as_of_sequence is not None:
+        snaps = snaps.filter(F.col("sequence_number") <= as_of_sequence)
+    if as_of_timestamp_ms is not None:
+        snaps = snaps.filter(F.col("committed_at_ms") <= as_of_timestamp_ms)
+    buckets = [r["bucket"] for r in snaps.select("bucket").collect()]
+    if not buckets:
+        raise ValueError("no snapshot at or before the requested point")
+    paths = [os.path.join(tdir, f"bucket={b}") for b in sorted(buckets)]
+    return spark.read.option("basePath", tdir).parquet(*paths)
 
 
 def compact_store(
