@@ -13,19 +13,21 @@ Decode coverage — four formats are decoded FOR REAL, dependency-free:
   pure bit-twiddling, implemented here directly — the second
   *compressed* format that needs no codec library. Interlace and
   local color tables handled.
+- Sequential-Huffman JPEG (``decode_jpeg`` via ``operators/jpeg.py``):
+  marker walk, Huffman entropy decode, dequantize, IDCT, chroma
+  upsample, YCbCr→RGB — all plain arithmetic, no codec library.
 - RIFF/WAV audio (``decode_wav``): 8/16-bit integer PCM (pure struct
   parse) plus G.711 a-law/mu-law (pure ITU table expansion).
 
-The remaining formats (JPEG/MP3/video) stay STUBBED — their codecs
-(DCT+Huffman, MDCT) have no stdlib decoder and the container has no
-media libs: with ``fake=True`` a deterministic hash-derived feature
+The remaining formats (progressive JPEG/MP3/video) stay STUBBED — no
+stdlib decoder and the container has no media libs: with ``fake=True`` a deterministic hash-derived feature
 vector stands in, with ``fake=False`` undecodable payloads raise
 NotImplementedError. Everything Spark-side — schemas, batch iteration,
 partitioning, UDF signatures, output shapes — is real and tested;
 swapping in Pillow/torchaudio later only widens ``_decode_one``'s
 format dispatch. ``resize_images(fake=False)`` likewise resamples
-decodable rasters (BMP/PNG/GIF in → 24-bit BMP out, nearest-neighbor)
-for real and raises only for undecodable payloads.
+decodable rasters (BMP/PNG/GIF/JPEG in → 24-bit BMP out, nearest-
+neighbor) for real and raises only for undecodable payloads.
 """
 
 from __future__ import annotations
@@ -34,6 +36,8 @@ import hashlib
 import struct
 import zlib
 from collections.abc import Iterator
+
+from yckg_spark.operators.jpeg import is_jpeg, jpeg_rgb
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -491,6 +495,17 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, _rgb_stats(width, height, rgb)
 
 
+def decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decode of a sequential-Huffman JPEG (see operators/jpeg.py —
+    pure-Python Huffman + IDCT, no codec library), then the same
+    FEATURE_DIM statistics as the other raster decoders. JPEG is lossy,
+    so unlike BMP/PNG/GIF the stats match the source raster only to
+    quantization error — but they are bit-deterministic for given
+    bytes."""
+    width, height, rgb = jpeg_rgb(payload)
+    return width, height, _rgb_stats(width, height, rgb)
+
+
 # WAVE format tags we decode: 1 = integer PCM, 6 = G.711 a-law, 7 = G.711
 # mu-law. The G.711 expansions are pure table arithmetic (ITU-T G.711),
 # no codec library involved.
@@ -630,10 +645,12 @@ def _decode_one(payload: bytes | None, fake: bool) -> list[float] | None:
             return decode_png(payload)[2]
         if is_gif(payload):
             return decode_gif(payload)[2]
+        if is_jpeg(payload):
+            return decode_jpeg(payload)[2]
         if is_wav(payload):
             return decode_wav(payload)[3]
         raise NotImplementedError(
-            "real decode beyond BMP/PNG/GIF/PCM-WAV requires "
+            "real decode beyond BMP/PNG/GIF/JPEG/WAV requires "
             "Pillow/torchaudio — not in this container"
         )
     # deterministic fake: 8 floats derived from the content hash. 16-bit
@@ -722,13 +739,16 @@ def _encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
 
 def _raster_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
     """(width, height, top-down RGB bytes) for any raster format we decode
-    for real (24-bit BMP, 8-bit PNG, GIF first frame), else None."""
+    for real (24-bit BMP, 8-bit PNG, GIF first frame, sequential JPEG),
+    else None."""
     if is_bmp(payload):
         return _bmp_rgb(payload)
     if is_png(payload):
         return _png_rgb(payload)
     if is_gif(payload):
         return _gif_first_frame(payload)
+    if is_jpeg(payload):
+        return jpeg_rgb(payload)
     return None
 
 
