@@ -865,3 +865,157 @@ def test_decode_png_adam7_interlaced():
     assert decode_png(_make_png(9, 9, gray_rows, color_type=0, interlace=1)) == decode_png(
         _make_png(9, 9, gray_rows, color_type=0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Y4M: real (uncompressed) video — frame decode + timestamp sampling
+# ---------------------------------------------------------------------------
+
+
+def _make_y4m(width, height, frames_rgb, fps=(4, 1), chroma="444"):
+    """Hand-assembled YUV4MPEG2 stream: ``frames_rgb`` is a list of
+    frames, each height rows of (r,g,b). Chroma planes are box-averaged
+    for subsampled layouts, mirroring the decoder's nearest lookup on
+    constant-chroma content."""
+
+    def to_ycc(px):
+        r, g, b = px
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        cl = lambda v: 0 if v < 0 else (255 if v > 255 else int(v + 0.5))
+        return cl(y), cl(cb), cl(cr)
+
+    sub = {"444": (1, 1), "422": (2, 1), "420": (2, 2), "mono": None}[chroma]
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n".encode()
+    )
+    for frame in frames_rgb:
+        ycc = [[to_ycc(px) for px in row] for row in frame]
+        out += b"FRAME\n"
+        out += bytes(ycc[y][x][0] for y in range(height) for x in range(width))
+        if sub is not None:
+            cw = (width + sub[0] - 1) // sub[0]
+            ch_ = (height + sub[1] - 1) // sub[1]
+            for ci in (1, 2):
+                for cy in range(ch_):
+                    for cx in range(cw):
+                        acc = n = 0
+                        for dy in range(sub[1]):
+                            for dx in range(sub[0]):
+                                sx, sy = cx * sub[0] + dx, cy * sub[1] + dy
+                                if sx < width and sy < height:
+                                    acc += ycc[sy][sx][ci]
+                                    n += 1
+                        out += bytes([int(acc / n + 0.5)])
+    return bytes(out)
+
+
+def test_y4m_first_frame_gray_exact():
+    """A grayscale (r=g=b) 4:4:4 frame decodes near-exactly: Y carries
+    the value and Cb=Cr=128 make the color transform the identity up to
+    YCbCr rounding (<= 2)."""
+    from yckg_spark.operators.multimodal import _y4m_frame_rgb, is_y4m, y4m_frame_count
+
+    frame = [[(v, v, v) for v in (0, 77, 128, 255)] for _ in range(2)]
+    y4m = _make_y4m(4, 2, [frame])
+    assert is_y4m(y4m)
+    assert y4m_frame_count(y4m) == 1
+    w, h, rgb = _y4m_frame_rgb(y4m, 0)
+    assert (w, h) == (4, 2)
+    for y in range(2):
+        for x, v in enumerate((0, 77, 128, 255)):
+            got = rgb[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
+            assert all(abs(c - v) <= 2 for c in got)
+
+
+def test_y4m_mono_and_subsampled_layouts():
+    """mono carries Y only; 422/420 with constant chroma lose nothing to
+    subsampling — all layouts agree on a constant-hue frame."""
+    from yckg_spark.operators.multimodal import decode_y4m
+
+    frame = [[(120, 120, 120)] * 8 for _ in range(4)]
+    base = decode_y4m(_make_y4m(8, 4, [frame], chroma="444"))
+    for chroma in ("422", "420", "mono"):
+        got = decode_y4m(_make_y4m(8, 4, [frame], chroma=chroma))
+        assert got[0:2] == base[0:2]
+        assert got[2] == pytest.approx(base[2], abs=2 / 255)
+
+
+def test_y4m_sample_frame_features(spark):
+    """Real frame sampling: a 4-frame 4fps stream sampled every 500 ms
+    yields frames 0,0(250?),..— exactly the timestamps 0/500/750ms map
+    to via floor(ts*fps): distinct per-frame features prove the right
+    frames were decoded."""
+    from yckg_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_y4m,
+        sample_frame_features,
+    )
+
+    shades = [10, 80, 160, 240]
+    frames = [[[(v, v, v)] * 4 for _ in range(2)] for v in shades]
+    y4m = _make_y4m(4, 2, frames, fps=(4, 1))  # 1 s of video, 250 ms/frame
+    media = spark.createDataFrame(
+        [("v1", "video", "video/x-y4m", y4m, 4, 2, 1000)], MEDIA_SCHEMA
+    )
+    rows = sample_frame_features(media, every_ms=250).collect()
+    assert [r["frame_ts_ms"] for r in sorted(rows, key=lambda r: r["frame_ts_ms"])] == [
+        0, 250, 500, 750,
+    ]
+    # each sampled frame has a distinct mean (shades differ)
+    means = [r["feature"][3] for r in sorted(rows, key=lambda r: r["frame_ts_ms"])]
+    assert means == sorted(means) and len(set(means)) == 4
+    # frame 0's features equal decode_y4m's first-frame stats
+    first = sorted(rows, key=lambda r: r["frame_ts_ms"])[0]
+    assert list(first["feature"]) == pytest.approx(decode_y4m(y4m)[2], rel=1e-6)
+
+
+def test_y4m_extract_features_and_resize(spark):
+    """fake=False feature extraction takes the Y4M branch, and the real
+    resample accepts a Y4M payload (first frame)."""
+    from yckg_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_y4m,
+        extract_features,
+        is_bmp,
+        resize_images,
+    )
+
+    frame = [[(200, 100, 50)] * 16 for _ in range(8)]
+    y4m = _make_y4m(16, 8, [frame], chroma="420")
+    media = spark.createDataFrame(
+        [("v2", "video", "video/x-y4m", y4m, 16, 8, 250)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, fake=False).collect()[0]
+    assert list(row["feature"]) == pytest.approx(decode_y4m(y4m)[2], rel=1e-6)
+    # resize_images only touches kind=="image" rows; hand it the Y4M
+    # payload as an image row (the raster path decodes frame 0)
+    as_image = spark.createDataFrame(
+        [("v2i", "image", "video/x-y4m", y4m, 16, 8, None)], MEDIA_SCHEMA
+    )
+    resized = resize_images(as_image, max_side=8, fake=False).collect()[0]
+    assert (resized["width"], resized["height"]) == (8, 4)
+    assert is_bmp(bytes(resized["payload"]))
+
+
+def test_y4m_truncated_and_sampling_rejects_compressed(spark):
+    import pytest as _pytest
+
+    from yckg_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _y4m_frame_rgb,
+        sample_frame_features,
+    )
+
+    frame = [[(9, 9, 9)] * 4 for _ in range(2)]
+    y4m = _make_y4m(4, 2, [frame])
+    with _pytest.raises(ValueError, match="truncated"):
+        _y4m_frame_rgb(y4m[:-3], 0)
+    with _pytest.raises(ValueError, match="truncated|frame header"):
+        _y4m_frame_rgb(y4m, 5)  # past the last frame
+    media = spark.createDataFrame(
+        [("m4", "video", "video/mp4", b"\x00mp4-fake", 1920, 1080, 3500)], MEDIA_SCHEMA
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        sample_frame_features(media).collect()

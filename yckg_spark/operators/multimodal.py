@@ -1,7 +1,7 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 
-Decode coverage — four formats are decoded FOR REAL, dependency-free:
+Decode coverage — six formats are decoded FOR REAL, dependency-free:
 
 - 24-bit BMP rasters (``decode_bmp``): pure struct parse.
 - 8-bit PNG, all five scanline filters, gray/RGB/palette/alpha color
@@ -18,16 +18,20 @@ Decode coverage — four formats are decoded FOR REAL, dependency-free:
   upsample, YCbCr→RGB — all plain arithmetic, no codec library.
 - RIFF/WAV audio (``decode_wav``): 8/16-bit integer PCM (pure struct
   parse) plus G.711 a-law/mu-law (pure ITU table expansion).
+- YUV4MPEG2 (Y4M) video (``decode_y4m`` / ``sample_frame_features``):
+  raw uncompressed YCbCr frame planes behind a text header — real
+  video frame decode and timestamp-sampled per-frame features with no
+  codec at all (420/422/444/mono layouts).
 
-The remaining formats (progressive JPEG/MP3/video) stay STUBBED — no
-stdlib decoder and the container has no media libs: with ``fake=True`` a deterministic hash-derived feature
-vector stands in, with ``fake=False`` undecodable payloads raise
-NotImplementedError. Everything Spark-side — schemas, batch iteration,
+The remaining formats (progressive JPEG, MP3, compressed video) stay
+STUBBED — no stdlib decoder and the container has no media libs: with
+``fake=True`` a deterministic hash-derived feature vector stands in,
+with ``fake=False`` undecodable payloads raise NotImplementedError. Everything Spark-side — schemas, batch iteration,
 partitioning, UDF signatures, output shapes — is real and tested;
 swapping in Pillow/torchaudio later only widens ``_decode_one``'s
 format dispatch. ``resize_images(fake=False)`` likewise resamples
-decodable rasters (BMP/PNG/GIF/JPEG in → 24-bit BMP out, nearest-
-neighbor) for real and raises only for undecodable payloads.
+decodable rasters (BMP/PNG/GIF/JPEG/Y4M-frame-0 in → 24-bit BMP out,
+nearest-neighbor) for real and raises only for undecodable payloads.
 """
 
 from __future__ import annotations
@@ -635,6 +639,125 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
     )
 
 
+_Y4M_SIG = b"YUV4MPEG2 "
+# chroma layout → (x subsample, y subsample); mono has no chroma planes
+_Y4M_CHROMA = {"420": (2, 2), "420jpeg": (2, 2), "420mpeg2": (2, 2),
+               "420paldv": (2, 2), "422": (2, 1), "444": (1, 1), "mono": None}
+
+
+def _y4m_header(payload: bytes) -> tuple[int, int, int, int, int, str] | None:
+    """(width, height, fps_num, fps_den, header_end, chroma) from a
+    YUV4MPEG2 stream header, or None if not Y4M-shaped."""
+    if payload is None or not payload.startswith(_Y4M_SIG):
+        return None
+    nl = payload.find(b"\n", 0, 256)
+    if nl < 0:
+        return None
+    w = h = 0
+    fn, fd = 30, 1
+    chroma = "420"
+    try:
+        for tok in payload[len(_Y4M_SIG) : nl].decode("ascii").split():
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "F":
+                fn, fd = (int(x) for x in tok[1:].split(":"))
+            elif tok[0] == "C":
+                chroma = tok[1:]
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if w <= 0 or h <= 0 or fn <= 0 or fd <= 0:
+        return None
+    return w, h, fn, fd, nl + 1, chroma
+
+
+def is_y4m(payload: bytes | None) -> bool:
+    """True if the payload is a YUV4MPEG2 (Y4M) stream of a chroma layout
+    we decode — the uncompressed video interchange format: a text header
+    plus raw YCbCr frames, so real video decode with no codec at all."""
+    hdr = _y4m_header(payload)
+    return hdr is not None and hdr[5] in _Y4M_CHROMA
+
+
+def _y4m_frame_rgb(payload: bytes, frame_idx: int = 0) -> tuple[int, int, bytes]:
+    """Decode one frame of a Y4M stream to top-down RGB (full-range
+    BT.601/JFIF matrix — Y4M carries no range metadata, so full range is
+    the deterministic documented choice)."""
+    hdr = _y4m_header(payload)
+    if hdr is None or hdr[5] not in _Y4M_CHROMA:
+        raise ValueError("not a decodable Y4M stream")
+    width, height, _fn, _fd, pos, chroma = hdr
+    sub = _Y4M_CHROMA[chroma]
+    ysize = width * height
+    if sub is None:
+        csize = 0
+        cw = ch_ = 0
+    else:
+        cw = (width + sub[0] - 1) // sub[0]
+        ch_ = (height + sub[1] - 1) // sub[1]
+        csize = cw * ch_
+    frame_bytes = ysize + 2 * csize
+    for _ in range(frame_idx + 1):
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("truncated Y4M: frame header missing")
+        start = nl + 1
+        if len(payload) < start + frame_bytes:
+            raise ValueError("truncated Y4M: incomplete frame payload")
+        pos = start + frame_bytes
+    yp = payload[start : start + ysize]
+    cbp = payload[start + ysize : start + ysize + csize]
+    crp = payload[start + ysize + csize : start + frame_bytes]
+    rgb = bytearray(ysize * 3)
+    for y in range(height):
+        for x in range(width):
+            yy = yp[y * width + x]
+            if sub is None:
+                rr = gg = bb = float(yy)
+            else:
+                ci = (y // sub[1]) * cw + (x // sub[0])
+                cb, cr = cbp[ci], crp[ci]
+                rr = yy + 1.402 * (cr - 128)
+                gg = yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                bb = yy + 1.772 * (cb - 128)
+            d = (y * width + x) * 3
+            rgb[d] = 0 if rr < 0 else (255 if rr > 255 else int(rr + 0.5))
+            rgb[d + 1] = 0 if gg < 0 else (255 if gg > 255 else int(gg + 0.5))
+            rgb[d + 2] = 0 if bb < 0 else (255 if bb > 255 else int(bb + 0.5))
+    return width, height, bytes(rgb)
+
+
+def y4m_frame_count(payload: bytes) -> int:
+    """Number of complete frames in a Y4M stream (header walk only)."""
+    hdr = _y4m_header(payload)
+    if hdr is None or hdr[5] not in _Y4M_CHROMA:
+        raise ValueError("not a decodable Y4M stream")
+    width, height, _fn, _fd, pos, chroma = hdr
+    sub = _Y4M_CHROMA[chroma]
+    csize = 0 if sub is None else (
+        ((width + sub[0] - 1) // sub[0]) * ((height + sub[1] - 1) // sub[1])
+    )
+    frame_bytes = width * height + 2 * csize
+    n = 0
+    while payload[pos : pos + 5] == b"FRAME":
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or len(payload) < nl + 1 + frame_bytes:
+            break
+        n += 1
+        pos = nl + 1 + frame_bytes
+    return n
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decode of a Y4M video's first frame (the convention GIF's
+    first frame established) — raw-plane parse + BT.601 conversion, then
+    the shared FEATURE_DIM statistics."""
+    width, height, rgb = _y4m_frame_rgb(payload, 0)
+    return width, height, _rgb_stats(width, height, rgb)
+
+
 def _decode_one(payload: bytes | None, fake: bool) -> list[float] | None:
     if payload is None:
         return None
@@ -649,8 +772,10 @@ def _decode_one(payload: bytes | None, fake: bool) -> list[float] | None:
             return decode_jpeg(payload)[2]
         if is_wav(payload):
             return decode_wav(payload)[3]
+        if is_y4m(payload):
+            return decode_y4m(payload)[2]
         raise NotImplementedError(
-            "real decode beyond BMP/PNG/GIF/JPEG/WAV requires "
+            "real decode beyond BMP/PNG/GIF/JPEG/WAV/Y4M requires "
             "Pillow/torchaudio — not in this container"
         )
     # deterministic fake: 8 floats derived from the content hash. 16-bit
@@ -739,8 +864,8 @@ def _encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
 
 def _raster_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
     """(width, height, top-down RGB bytes) for any raster format we decode
-    for real (24-bit BMP, 8-bit PNG, GIF first frame, sequential JPEG),
-    else None."""
+    for real (24-bit BMP, 8-bit PNG, GIF first frame, sequential JPEG,
+    Y4M first frame), else None."""
     if is_bmp(payload):
         return _bmp_rgb(payload)
     if is_png(payload):
@@ -749,6 +874,8 @@ def _raster_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
         return _gif_first_frame(payload)
     if is_jpeg(payload):
         return jpeg_rgb(payload)
+    if is_y4m(payload):
+        return _y4m_frame_rgb(payload, 0)
     return None
 
 
@@ -845,6 +972,63 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def sample_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling over Arrow batches: for every decodable
+    video payload (Y4M), decode the frame nearest each ``every_ms``
+    timestamp and emit its FEATURE_DIM statistics — one row per sampled
+    frame. Undecodable video payloads raise (the compressed-video stub);
+    null payloads emit nothing (errors-side convention).
+
+    The 100 TB shape matches ``extract_features``: payload bytes stay in
+    the executors, work spreads by repartitioning on media_id, and each
+    Arrow batch bounds memory to its own frames.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_ts_ms": [], "width": [], "height": [], "feature": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if not is_y4m(payload):
+                    raise NotImplementedError(
+                        "real frame sampling beyond Y4M requires a video "
+                        "codec — not in this container"
+                    )
+                w, h, fn, fd, _pos, _chroma = _y4m_header(payload)
+                n_frames = y4m_frame_count(payload)
+                duration_ms = n_frames * 1000 * fd / fn
+                ts = 0
+                while ts < duration_ms:
+                    idx = min(n_frames - 1, int(ts * fn / (1000 * fd)))
+                    fw, fh, rgb = _y4m_frame_rgb(payload, idx)
+                    out["media_id"].append(mid)
+                    out["frame_ts_ms"].append(ts)
+                    out["width"].append(fw)
+                    out["height"].append(fh)
+                    out["feature"].append(_rgb_stats(fw, fh, rgb))
+                    ts += every_ms
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(batches, FRAME_FEATURES_SCHEMA)
     )
 
 
