@@ -13,9 +13,11 @@ Decode coverage — six formats are decoded FOR REAL, dependency-free:
   pure bit-twiddling, implemented here directly — the second
   *compressed* format that needs no codec library. Interlace and
   local color tables handled.
-- Sequential-Huffman JPEG (``decode_jpeg`` via ``operators/jpeg.py``):
-  marker walk, Huffman entropy decode, dequantize, IDCT, chroma
-  upsample, YCbCr→RGB — all plain arithmetic, no codec library.
+- Huffman JPEG, sequential AND progressive (``decode_jpeg`` via
+  ``operators/jpeg.py``): marker walk, Huffman entropy decode across
+  multi-scan spectral-selection / successive-approximation layers,
+  dequantize, IDCT, chroma upsample, YCbCr→RGB — all plain
+  arithmetic, no codec library.
 - RIFF/WAV audio (``decode_wav``): 8/16-bit integer PCM (pure struct
   parse) plus G.711 a-law/mu-law (pure ITU table expansion).
 - YUV4MPEG2 (Y4M) video (``decode_y4m`` / ``sample_frame_features``):
@@ -23,8 +25,8 @@ Decode coverage — six formats are decoded FOR REAL, dependency-free:
   video frame decode and timestamp-sampled per-frame features with no
   codec at all (420/422/444/mono layouts).
 
-The remaining formats (progressive JPEG, MP3, compressed video) stay
-STUBBED — no stdlib decoder and the container has no media libs: with
+The remaining formats (MP3, compressed video, arithmetic-coded JPEG)
+stay STUBBED — no stdlib decoder and the container has no media libs: with
 ``fake=True`` a deterministic hash-derived feature vector stands in,
 with ``fake=False`` undecodable payloads raise NotImplementedError. Everything Spark-side — schemas, batch iteration,
 partitioning, UDF signatures, output shapes — is real and tested;
@@ -500,12 +502,12 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
-    """REAL decode of a sequential-Huffman JPEG (see operators/jpeg.py —
-    pure-Python Huffman + IDCT, no codec library), then the same
-    FEATURE_DIM statistics as the other raster decoders. JPEG is lossy,
-    so unlike BMP/PNG/GIF the stats match the source raster only to
-    quantization error — but they are bit-deterministic for given
-    bytes."""
+    """REAL decode of a Huffman JPEG, sequential or progressive (see
+    operators/jpeg.py — pure-Python Huffman + IDCT, no codec library),
+    then the same FEATURE_DIM statistics as the other raster decoders.
+    JPEG is lossy, so unlike BMP/PNG/GIF the stats match the source
+    raster only to quantization error — but they are bit-deterministic
+    for given bytes."""
     width, height, rgb = jpeg_rgb(payload)
     return width, height, _rgb_stats(width, height, rgb)
 
