@@ -1264,6 +1264,125 @@ FROM t
 """
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: duplicate-word
+    fraction plus the mode fraction of word 2-grams and 3-grams."""
+    from yckg_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"), grams=(2, 3))
+
+
+_ORACLE_REPETITION = """
+WITH docs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents
+), toks AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS t FROM docs
+), base AS (
+  SELECT doc_id, ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS dup_word_frac
+  FROM toks
+), g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+         ELSE [norm] END) AS g
+  FROM toks
+), c2 AS (
+  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+), f2 AS (
+  SELECT doc_id, ROUND(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top2gram_frac FROM c2 GROUP BY 1
+), g3 AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         ELSE [norm] END) AS g
+  FROM toks
+), c3 AS (
+  SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2
+), f3 AS (
+  SELECT doc_id, ROUND(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top3gram_frac FROM c3 GROUP BY 1
+)
+SELECT base.doc_id, dup_word_frac,
+       COALESCE(top2gram_frac, 0.0) AS top2gram_frac,
+       COALESCE(top3gram_frac, 0.0) AS top3gram_frac
+FROM base LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 5 != 0) that share
+    any word 8-gram with the held-out benchmark slice (doc_id % 5 == 0)."""
+    from yckg_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    return decontaminate(train, bench, n=8)
+
+
+_ORACLE_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, LATERAL unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8
+), bench AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % 5 = 0
+)
+SELECT s.doc_id, count(*) AS n_hit_grams
+FROM sh s JOIN bench USING (g)
+WHERE s.doc_id % 5 <> 0
+GROUP BY 1
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over text with deterministically injected PII (the
+    synthetic documents carry none), so the oracle genuinely exercises the
+    email/IPv4/phone regexes through both engines."""
+    from yckg_spark.operators.curation import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    out = pii_scrub(d.select("doc_id", injected.alias("text")))
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+def _oracle_pii():
+    """Mirror pii_scrub over the same injected text: counts on the raw text,
+    then the PII_PATTERNS-ordered sequential global replaces, md5'd."""
+    from yckg_spark.operators.curation import PII_PATTERNS
+
+    inj = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.0.1 tel +1-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    scrub = "t"
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append("len(regexp_extract_all(t, '" + pat + "')) AS n_" + name)
+        scrub = "regexp_replace(" + scrub + ", '" + pat + "', '" + token + "', 'g')"
+    return (
+        "WITH inj AS (SELECT doc_id, " + inj + " AS t FROM documents)\n"
+        "SELECT doc_id, " + ", ".join(counts) + ", md5(" + scrub + ") AS scrub_md5\n"
+        "FROM inj"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_customer": q_kg_triples_customer,
@@ -1308,6 +1427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "multimodal_features": q_multimodal_features,
         "mapping_pr": q_mapping_pr,
+        "repetition_signals": q_repetition_signals,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         "kg_build": q_kg_build,
     }
 
@@ -1349,6 +1471,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _ORACLE_QUALITY,
         "multimodal_features": _ORACLE_MULTIMODAL,
         "mapping_pr": _ORACLE_MAPPING_PR,
+        "repetition_signals": _ORACLE_REPETITION,
+        "decontaminate": _ORACLE_DECONTAMINATE,
+        "pii_scrub": _oracle_pii(),
         "geocode_join": _ORACLE_GEOCODE,
         "simhash": _ORACLE_SIMHASH,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,

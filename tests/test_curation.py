@@ -1,0 +1,87 @@
+"""Curation operators: repetition signals, decontamination, PII scrub."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yckg_spark.operators.curation import decontaminate, pii_scrub, repetition_signals
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_repetition_signals_known_values(spark):
+    df = _docs(spark, ["a a a a", "a b c d", "x", "a b a b a"])
+    rows = {r["doc_id"]: r for r in repetition_signals(df, grams=(2, 3)).collect()}
+
+    assert rows[0]["dup_word_frac"] == 0.75  # 1 - 1/4
+    assert rows[0]["top2gram_frac"] == 1.0  # "a a" x3 of 3
+    assert rows[0]["top3gram_frac"] == 1.0
+
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[1]["top2gram_frac"] == pytest.approx(1 / 3, abs=1e-4)
+    assert rows[1]["top3gram_frac"] == 0.5
+
+    # under n tokens: shingles() falls back to [norm] -> a single gram
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top2gram_frac"] == 1.0
+
+    assert rows[3]["dup_word_frac"] == 0.6  # 1 - 2/5
+    assert rows[3]["top2gram_frac"] == 0.5  # "a b" 2 of 4
+    assert rows[3]["top3gram_frac"] == pytest.approx(2 / 3, abs=1e-4)
+
+
+def test_repetition_filterable(spark):
+    df = _docs(spark, ["spam spam spam spam spam", "the quick brown fox jumps over it"])
+    kept = repetition_signals(df).filter(F.col("top2gram_frac") < 0.9)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    bench = _docs(spark, ["q1 q2 q3 q4 q5 q6 q7 q8"])
+    train = spark.createDataFrame(
+        [
+            (10, "intro q1 q2 q3 q4 q5 q6 q7 q8 outro"),  # contains the bench 8-gram
+            (11, "clean text with eight tokens here now ok"),  # 8 tokens, no overlap
+            (12, "short doc under eight"),  # excluded: < 8 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_hit_grams"] for r in decontaminate(train, bench, n=8).collect()}
+    assert out == {10: 1}
+
+
+def test_decontaminate_counts_distinct_hits(spark):
+    bench = _docs(spark, ["a b c d e f g h i"])  # grams: a..h, b..i
+    train = spark.createDataFrame(
+        [(20, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    out = decontaminate(train, bench, n=8).collect()
+    assert out[0]["n_hit_grams"] == 2
+
+
+def test_pii_scrub_all_types(spark):
+    df = _docs(spark, ["mail bob@foo.org and 1.2.3.4 call +44-123-4567 end"])
+    r = pii_scrub(df).collect()[0]
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 1, 1)
+    assert r["text_scrubbed"] == "mail [EMAIL] and [IP] call [PHONE] end"
+
+
+def test_pii_scrub_multiple_and_none(spark):
+    df = _docs(spark, ["a@b.co c@d.org", "no pii here at all"])
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[0]["n_email"] == 2
+    assert rows[0]["text_scrubbed"] == "[EMAIL] [EMAIL]"
+    assert rows[1]["n_email"] == rows[1]["n_ipv4"] == rows[1]["n_phone"] == 0
+    assert rows[1]["text_scrubbed"] == "no pii here at all"
+
+
+def test_pii_scrub_email_consumed_before_ip_pass(spark):
+    # the host part of an address never double-counts as an IP: emails are
+    # replaced first (PII_PATTERNS order), and counts run on the raw text
+    df = _docs(spark, ["x 10.0.0.1@example.com y"])
+    r = pii_scrub(df).collect()[0]
+    assert r["n_email"] == 1
+    assert r["text_scrubbed"] == "x [EMAIL] y"
