@@ -110,3 +110,44 @@ def test_minhash_band_join_carries_no_sig_array(spark):
             inp = next((ln for ln in lines if ln.startswith("Input")), "")
             assert "sig" not in inp, block
     assert band_exchanges >= 2, plan  # both self-join sides shuffle on (band, bh)
+
+
+def test_decontaminate_broadcasts_bench_and_never_shuffles_text(spark):
+    """The benchmark gram set must arrive via BroadcastHashJoin, and no
+    exchange may carry the corpus text column — the only shuffle is the
+    post-join (id, matched-gram) count."""
+    from yckg_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "w%d " % i + "a b c d e f g h tail") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(0, "a b c d e f g h")], ["doc_id", "text"])
+    plan = _plan(decontaminate(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan, plan
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        assert "text" not in inp, block
+
+
+def test_repetition_signals_shuffles_grams_not_text(spark):
+    """The n-gram mode aggregation must shuffle (id, gram) pairs with
+    map-side partial aggregation; document text must never ride an
+    exchange."""
+    from yckg_spark.operators.curation import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta delta") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(repetition_signals(docs))
+    assert "HashAggregate" in plan, plan
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        assert "text" not in inp, block

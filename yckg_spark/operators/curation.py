@@ -98,26 +98,26 @@ def decontaminate(
 
     Scale shape: benchmark suites are MB-scale next to a 100-TB corpus,
     so the distinct benchmark gram set is **broadcast** and the corpus
-    side never shuffles — one narrow explode → broadcast-hash semi join
-    → groupBy(id) count with map-side combine. Corpus text never leaves
-    its partition.
+    side is filtered to matching grams BEFORE anything shuffles: narrow
+    explode → broadcast-hash join → count_distinct per id. The only
+    exchange carries the (id, matched-gram) hits — near-zero volume on a
+    clean corpus — and corpus text never leaves its partition.
     """
     bcol = bench_text_col or text_col
 
-    def gram_side(df: DataFrame, col: str, keep_id: bool) -> DataFrame:
+    def gram_side(df: DataFrame, col: str):
         toks = F.split(normalize_text(F.col(col)), " ")
         base = df.filter(F.size(toks) >= n)
-        exploded = F.explode(shingles(F.col(col), n)).alias("g")
-        if keep_id:
-            return base.select(F.col(id_col), exploded).distinct()
-        return base.select(exploded).distinct()
+        return base, F.explode(shingles(F.col(col), n)).alias("g")
 
-    bench_grams = F.broadcast(gram_side(benchmark, bcol, keep_id=False))
-    doc_grams = gram_side(docs, text_col, keep_id=True)
+    bbase, bgrams = gram_side(benchmark, bcol)
+    bench_grams = F.broadcast(bbase.select(bgrams).distinct())
+    dbase, dgrams = gram_side(docs, text_col)
+    doc_grams = dbase.select(F.col(id_col), dgrams)
     return (
         doc_grams.join(bench_grams, on="g", how="inner")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hit_grams"))
+        .agg(F.count_distinct("g").alias("n_hit_grams"))
     )
 
 
