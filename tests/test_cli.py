@@ -215,3 +215,40 @@ def test_cli_snapshots_and_time_travel_query(spark, tmp_path, capsys, smoke_fixt
     latest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # half the corpus vs all of it: the historical average must differ
     assert v1["rows"][0]["average_rating"] != latest["rows"][0]["average_rating"]
+
+
+def test_cli_curate_filters_and_decontaminates(spark, tmp_path, capsys):
+    inp, bench, out = str(tmp_path / "docs"), str(tmp_path / "bench"), str(tmp_path / "cur")
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    _write_docs(
+        spark,
+        inp,
+        [
+            (1, good),
+            (2, "spam spam spam spam spam spam spam spam"),  # repetition
+            (3, "leak w1 w2 w3 w4 w5 w6 w7 w8 tail"),  # contaminated
+        ],
+    )
+    _write_docs(spark, bench, [(90, "w1 w2 w3 w4 w5 w6 w7 w8")])
+    assert main([
+        "curate", "--input", inp, "--output", out,
+        "--max-top2gram-frac", "0.9", "--benchmark", bench, "--ngram", "8",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] == 3 and rep["docs_kept"] == 1
+    assert rep["n_contaminated"] == 1
+    kept = spark.read.parquet(out)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    # curated rows carry the signals the filter used
+    assert {"quality", "dup_word_frac", "top2gram_frac"} <= set(kept.columns)
+
+
+def test_cli_curate_scrub_pii(spark, tmp_path, capsys):
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "cur")
+    _write_docs(spark, inp, [(1, "write to ops@example.org from 10.1.2.3 now")])
+    assert main(["curate", "--input", inp, "--output", out, "--scrub-pii"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_kept"] == 1 and rep["scrubbed_pii"] is True
+    row = spark.read.parquet(out).collect()[0]
+    assert row["text"] == "write to [EMAIL] from [IP] now"
+    assert row["n_email"] == 1 and row["n_ipv4"] == 1

@@ -255,6 +255,64 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation pass: quality score + repetition signals per
+    document, threshold filters, optional benchmark decontamination and PII
+    scrubbing, curated parquet out. Document text never shuffles: signals
+    join back on id, contamination is a broadcast-gram probe + id anti-join,
+    and the scrub is a narrow map on the write path."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.curation import decontaminate, pii_scrub, repetition_signals
+    from yckg_spark.operators.text_analysis import quality_score
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    id_col, text_col = args.id_col, args.text_col
+
+    scored = quality_score(docs, text_col=text_col).select(
+        *docs.columns, "quality"
+    )
+    signals = repetition_signals(docs, text_col=text_col, id_col=id_col)
+    cur = scored.join(signals, on=id_col, how="left")
+    cur = cur.filter(
+        (F.col("quality") >= args.min_quality)
+        & (F.col("dup_word_frac") <= args.max_dup_word_frac)
+        & (F.col("top2gram_frac") <= args.max_top2gram_frac)
+    )
+
+    n_contaminated = None
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        flagged = decontaminate(
+            docs, bench, n=args.ngram, text_col=text_col, id_col=id_col,
+            bench_text_col=args.bench_text_col,
+        ).persist()
+        n_contaminated = flagged.count()
+        cur = cur.join(flagged.select(id_col), on=id_col, how="left_anti")
+
+    if args.scrub_pii:
+        scrubbed = pii_scrub(cur, text_col=text_col, id_col=id_col)
+        cur = scrubbed.drop(text_col).withColumnRenamed("text_scrubbed", text_col)
+
+    obs = Observation()
+    cur.observe(obs, F.count(F.lit(1)).alias("n_out")).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    n_out = obs.get["n_out"]
+    if n_contaminated is not None:
+        flagged.unpersist()
+    n_in = docs.count()
+    print(json.dumps({
+        "docs_in": n_in, "docs_kept": n_out, "removed": n_in - n_out,
+        "n_contaminated": n_contaminated, "scrubbed_pii": bool(args.scrub_pii),
+        "seconds": round(time.time() - t0, 3), "output": args.output,
+    }))
+    return 0
+
+
 def cmd_link(args) -> int:
     """Wikidata entity-linking pass (north_rule: candidate entity-link
     scoring with link-score metrics written alongside the commit): parse
@@ -444,6 +502,24 @@ def make_parser() -> argparse.ArgumentParser:
                     help="reliable checkpoint dir for the components loop "
                          "(survives executor loss; default: localCheckpoint)")
     dd.set_defaults(fn=cmd_dedup)
+
+    cu = sub.add_parser("curate", help="quality/repetition filter + decontaminate + PII scrub")
+    cu.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    cu.add_argument("--output", required=True, help="curated parquet output dir")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--min-quality", type=float, default=0.0)
+    cu.add_argument("--max-dup-word-frac", type=float, default=1.0)
+    cu.add_argument("--max-top2gram-frac", type=float, default=1.0)
+    cu.add_argument("--benchmark", default=None,
+                    help="benchmark parquet; drop docs sharing any word n-gram with it")
+    cu.add_argument("--bench-text-col", default=None,
+                    help="benchmark text column (default: --text-col)")
+    cu.add_argument("--ngram", type=int, default=8,
+                    help="decontamination n-gram width")
+    cu.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/IPs/phones in the output text")
+    cu.set_defaults(fn=cmd_curate)
 
     lk = sub.add_parser("link", help="Wikidata entity linking + location triples")
     lk.add_argument("--input", required=True, help="web_pages parquet path or table")
