@@ -1,0 +1,169 @@
+"""Curation-operator stretch: repetition signals, decontamination, and
+PII scrubbing at 100x the sf0.1 document count, with known-answer checks.
+
+Same methodology as run_sf1_stretch.py: synthesize a deterministic 100x
+corpus FROM the sf0.1 documents table (no external data) — 100 identical
+replicas per document with distinct doc_ids — so every answer is known
+from the base corpus:
+
+  * repetition_signals: replicas have identical text, so the set of
+    distinct (dup_word_frac, top2gram_frac, top3gram_frac) tuples must
+    equal the base corpus's;
+  * decontaminate (train = replicas of doc_id%5!=0 docs, benchmark = the
+    base doc_id%5==0 slice): every replica of a contaminated base doc is
+    flagged, so flagged == replicas x base_flagged;
+  * pii_scrub over text with one injected email/IP/phone per row:
+    sum(n_email) == n_rows (and the same for ipv4/phone).
+
+Each operator is timed (min of --reps interleaved) and the check is
+recorded. Writes BENCH/curation_stretch.json.
+
+Usage: python BENCH/run_curation_stretch.py [--replicas 100] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+import sys
+
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("YCKG_LOCAL_DIR", "/dev/shm/spark-local")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+WORK = "/dev/shm/yckg-curation-stretch"
+
+
+def timed(samples: dict, name: str, fn, reps: int):
+    result = None
+    for _ in range(reps):
+        t0 = time.time()
+        result = fn()
+        samples.setdefault(name, []).append(round(time.time() - t0, 3))
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from yckg_spark.operators.curation import decontaminate, pii_scrub, repetition_signals
+    from yckg_spark.session import get_spark
+
+    spark = get_spark(
+        "yckg-curation-stretch", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_base = base.count()
+
+    # ---- materialize the 100x corpus (input prep, timed separately)
+    t0 = time.time()
+    rep = F.explode(F.sequence(F.lit(0), F.lit(args.replicas - 1))).alias("rep")
+    big = base.select("*", rep).withColumn(
+        "doc_id", F.col("doc_id") * args.replicas + F.col("rep")
+    ).drop("rep")
+    # injected PII mirrors the driver entry's pii_scrub oracle shape
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    # a real 100-TB corpus arrives as many splits; a single synthetic file
+    # would serialize the scan (one task) and measure nothing
+    big.withColumn("text_pii", injected).repartition(int(CPUS)).write.parquet(
+        f"{WORK}/docs"
+    )
+    synth_s = round(time.time() - t0, 3)
+    docs = spark.read.parquet(f"{WORK}/docs")
+    n_rows = docs.count()
+
+    # ---- base-corpus known answers (cheap, small data)
+    base_signature_count = (
+        repetition_signals(base).select("dup_word_frac", "top2gram_frac", "top3gram_frac")
+        .distinct().count()
+    )
+    bench = base.filter(F.col("doc_id") % 5 == 0)
+    base_flagged = decontaminate(
+        base.filter(F.col("doc_id") % 5 != 0), bench, n=8
+    ).count()
+
+    samples: dict[str, list[float]] = {}
+    checks: dict[str, bool] = {}
+
+    # replica doc_id = base_id*R + k, so base doc_id%5!=0 <=> floor(id/R)%5!=0
+    train = docs.filter((F.col("doc_id") / args.replicas).cast("long") % 5 != 0)
+
+    sig_distinct = timed(
+        samples, "repetition_signals",
+        lambda: repetition_signals(docs)
+        .select("dup_word_frac", "top2gram_frac", "top3gram_frac").distinct().count(),
+        args.reps,
+    )
+    checks["repetition_signature_set_invariant"] = sig_distinct == base_signature_count
+
+    flagged = timed(
+        samples, "decontaminate",
+        lambda: decontaminate(train, bench, n=8).count(), args.reps,
+    )
+    checks["decontaminate_flags_every_replica"] = flagged == args.replicas * base_flagged
+
+    agg = timed(
+        samples, "pii_scrub",
+        lambda: pii_scrub(docs, text_col="text_pii")
+        .agg(
+            F.sum("n_email").alias("e"),
+            F.sum("n_ipv4").alias("i"),
+            F.sum("n_phone").alias("p"),
+        ).collect()[0],
+        args.reps,
+    )
+    checks["pii_one_of_each_per_row"] = (agg["e"], agg["i"], agg["p"]) == (n_rows,) * 3
+
+    timings = {name: min(s) for name, s in samples.items()}
+    out = {
+        "metric": "curation_stretch",
+        "sf_base": SF_DIR,
+        "replicas": args.replicas,
+        "rows": {"base": n_base, "docs": n_rows},
+        "synth_s": synth_s,
+        "reps": args.reps,
+        "seconds": timings,
+        "rep_samples": samples,
+        "docs_per_sec": {
+            name: round(n_rows / t, 1) for name, t in timings.items()
+        },
+        "known_answers": {
+            "base_signature_count": base_signature_count,
+            "signature_count_100x": sig_distinct,
+            "base_flagged": base_flagged,
+            "flagged_100x": flagged,
+        },
+        "checks": checks,
+        "all_checks_pass": all(checks.values()),
+        "cpus": int(CPUS),
+    }
+    with open(REPO / "BENCH" / "curation_stretch.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

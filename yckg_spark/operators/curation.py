@@ -48,31 +48,54 @@ def repetition_signals(
     boilerplate and degenerate repetition; filter with e.g.
     ``.filter('top2gram_frac < 0.2')``.
 
-    Scale shape: the n-gram mode is computed by explode → groupBy
-    (id, gram) count → groupBy id max/sum, i.e. two shuffles keyed by
-    doc id with full map-side partial aggregation; only (id, gram)
-    pairs ride the exchange, never the text, and a single hot document
-    cannot skew a partition because its grams combine map-side first.
-    The expression-only alternative (aggregate over array_distinct)
-    would be O(distinct²) per row and was rejected for long documents.
+    Scale shape: ONE corpus scan and ONE explode for all gram widths —
+    each document's gram arrays are tagged with their width and exploded
+    together, then groupBy (id, n, gram) count → groupBy (id, n) mode
+    fraction → groupBy id widen. All three aggregations are map-side
+    partial; only (id, width, gram) rows ride the exchange, never the
+    text, and a single hot document cannot skew a partition because its
+    grams combine map-side first. The expression-only alternative
+    (aggregate over array_distinct) would be O(distinct²) per row and
+    was rejected for long documents.
     """
-    out = df.select(id_col, dup_word_fraction(F.col(text_col)).alias("dup_word_frac"))
-    for n in grams:
-        per_gram = (
-            df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g"))
-            .groupBy(id_col, "g")
-            .agg(F.count("*").alias("c"))
+    c = F.col(text_col)
+
+    def _tag(n: int):
+        # NB: the tagging lambda must stay single-parameter — a second
+        # parameter (even defaulted) makes F.transform pass the element
+        # INDEX into it
+        return F.transform(
+            shingles(c, n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
         )
-        frac = (
-            per_gram.groupBy(id_col)
-            .agg((F.max("c") / F.sum("c")).alias(f"top{n}gram_frac"))
-        )
-        out = out.join(frac, on=id_col, how="left")
-    cols = [id_col, F.round("dup_word_frac", 4).alias("dup_word_frac")] + [
-        F.round(F.coalesce(f"top{n}gram_frac", F.lit(0.0)), 4).alias(f"top{n}gram_frac")
-        for n in grams
-    ]
-    return out.select(*cols)
+
+    tagged = F.concat(*[_tag(n) for n in grams])
+    per_gram = (
+        df.select(F.col(id_col), F.explode(tagged).alias("t"))
+        .select(id_col, F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+        .groupBy(id_col, "n", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    per_n = per_gram.groupBy(id_col, "n").agg((F.max("c") / F.sum("c")).alias("frac"))
+    wide = per_n.groupBy(id_col).agg(
+        *[
+            F.round(
+                F.coalesce(F.max(F.when(F.col("n") == n, F.col("frac"))), F.lit(0.0)), 4
+            ).alias(f"top{n}gram_frac")
+            for n in grams
+        ]
+    )
+    base = df.select(
+        id_col, F.round(dup_word_fraction(c), 4).alias("dup_word_frac")
+    )
+    out = base.join(wide, on=id_col, how="left")
+    return out.select(
+        id_col,
+        "dup_word_frac",
+        *[
+            F.coalesce(f"top{n}gram_frac", F.lit(0.0)).alias(f"top{n}gram_frac")
+            for n in grams
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
