@@ -69,10 +69,13 @@ def repetition_signals(
         )
 
     tagged = F.concat(*[_tag(n) for n in grams])
+    # grams are 64-bit-hashed before the exchange (the minhash path's
+    # trick): the mode fraction only needs gram identity, and an 8-byte
+    # key shuffles ~5x fewer bytes than the gram string
     per_gram = (
         df.select(F.col(id_col), F.explode(tagged).alias("t"))
-        .select(id_col, F.col("t.n").alias("n"), F.col("t.g").alias("g"))
-        .groupBy(id_col, "n", "g")
+        .select(id_col, F.col("t.n").alias("n"), F.xxhash64("t.g").alias("gh"))
+        .groupBy(id_col, "n", "gh")
         .agg(F.count("*").alias("c"))
     )
     per_n = per_gram.groupBy(id_col, "n").agg((F.max("c") / F.sum("c")).alias("frac"))
