@@ -85,3 +85,17 @@ def test_pii_scrub_email_consumed_before_ip_pass(spark):
     r = pii_scrub(df).collect()[0]
     assert r["n_email"] == 1
     assert r["text_scrubbed"] == "x [EMAIL] y"
+
+
+def test_curation_tolerates_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ok text here")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert len(rows) == 3
+    assert rows[2]["dup_word_frac"] == 0.0  # [''] -> 1 distinct of 1
+    scrub = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert scrub[1]["text_scrubbed"] is None and scrub[1]["n_email"] is None
+    # null/short texts never participate in decontamination
+    bench = spark.createDataFrame([(9, "a b c d e f g h")], "doc_id long, text string")
+    assert decontaminate(df, bench, n=8).count() == 0

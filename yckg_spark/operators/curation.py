@@ -125,25 +125,32 @@ def decontaminate(
     Scale shape: benchmark suites are MB-scale next to a 100-TB corpus,
     so the distinct benchmark gram set is **broadcast** and the corpus
     side is filtered to matching grams BEFORE anything shuffles: narrow
-    explode → broadcast-hash join → count_distinct per id. The only
-    exchange carries the (id, matched-gram) hits — near-zero volume on a
-    clean corpus — and corpus text never leaves its partition.
+    explode → broadcast-hash join → count_distinct per id. Both sides
+    join on the 64-bit gram hash, not the gram string — the broadcast
+    table and the probe keys shrink ~6× (collision odds at corpus×bench
+    gram counts are ~1e-8, the same accepted tradeoff as the minhash
+    path). The only exchange carries the (id, matched-gram-hash) hits —
+    near-zero volume on a clean corpus — and corpus text never leaves
+    its partition.
     """
     bcol = bench_text_col or text_col
 
     def gram_side(df: DataFrame, col: str):
         toks = F.split(normalize_text(F.col(col)), " ")
         base = df.filter(F.size(toks) >= n)
-        return base, F.explode(shingles(F.col(col), n)).alias("g")
+        gh = F.explode(
+            F.transform(shingles(F.col(col), n), lambda g: F.xxhash64(g))
+        ).alias("gh")
+        return base, gh
 
     bbase, bgrams = gram_side(benchmark, bcol)
     bench_grams = F.broadcast(bbase.select(bgrams).distinct())
     dbase, dgrams = gram_side(docs, text_col)
     doc_grams = dbase.select(F.col(id_col), dgrams)
     return (
-        doc_grams.join(bench_grams, on="g", how="inner")
+        doc_grams.join(bench_grams, on="gh", how="inner")
         .groupBy(id_col)
-        .agg(F.count_distinct("g").alias("n_hit_grams"))
+        .agg(F.count_distinct("gh").alias("n_hit_grams"))
     )
 
 
