@@ -1383,6 +1383,111 @@ def _oracle_pii():
     )
 
 
+_MIX_RATES = {"en": 0.6, "de": 0.3, "fr": 1.0, "zh": 0.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic corpus mixing: per-language Bernoulli sampling on a
+    recomputable md5 key (en 60%, de 30%, fr all, zh none, es unlisted ->
+    dropped). Pure narrow filter — zero shuffle."""
+    from yckg_spark.operators.selection import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, _MIX_RATES).select("doc_id", "lang")
+
+
+def _oracle_stratified():
+    from yckg_spark.operators.selection import _rate_threshold
+
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{_rate_threshold(r)}'" for k, r in _MIX_RATES.items()
+    )
+    return (
+        "SELECT doc_id, lang FROM documents\n"
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 8) < "
+        f"CASE lang {whens} END"
+    )
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source anti-domination cap: keep the 5 largest documents per
+    source (ties by ascending id). Ids-only window, text joined back once."""
+    from yckg_spark.operators.selection import source_cap
+
+    d = _t(spark, sf_dir, "documents")
+    out = source_cap(d, cap=5, broadcast_keep=True)
+    return out.select("doc_id", "source", "n_chars", F.col("rank").cast("long").alias("rank"))
+
+
+_ORACLE_SOURCE_CAP = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing in ascending-id order (1000-token shards)
+    via the two-phase distributed prefix sum — no global-sort window."""
+    from yckg_spark.operators.selection import pack_shards
+
+    return pack_shards(_t(spark, sf_dir, "documents"), budget=1000, n_buckets=16)
+
+
+_ORACLE_PACK_SHARDS = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^ ]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(start // 1000 AS BIGINT) AS shard FROM c
+"""
+
+
+def q_line_filter(spark, sf_dir):
+    """C4-style line cleaning over synthesized multi-line text (every
+    ' table ' becomes a line break, plus one too-short and one banned-word
+    line appended, so both drop rules genuinely fire through both engines)."""
+    from yckg_spark.operators.selection import line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n")),
+        F.lit("\nshort one\nthis line mentions javascript today"),
+    )
+    out = line_filter(d.select("doc_id", injected.alias("text")))
+    return out.select("doc_id", "n_lines", "n_kept", F.md5("text_clean").alias("clean_md5"))
+
+
+_ORACLE_LINE_FILTER = """
+WITH inj AS (
+  SELECT doc_id,
+         replace(text, ' table ', chr(10)) || chr(10) || 'short one'
+           || chr(10) || 'this line mentions javascript today' AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id, string_split(t, chr(10)) AS l FROM inj
+), kept AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+         list_filter(l, x -> len(regexp_extract_all(x, '[^ ]+')) >= 3
+                           AND NOT contains(lower(x), 'javascript')
+                           AND NOT contains(lower(x), 'lorem ipsum')
+                           AND NOT contains(lower(x), '{')) AS k
+  FROM lines
+)
+SELECT doc_id, n_lines, CAST(len(k) AS BIGINT) AS n_kept,
+       md5(array_to_string(k, chr(10))) AS clean_md5
+FROM kept
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_customer": q_kg_triples_customer,
@@ -1430,6 +1535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "source_cap": q_source_cap,
+        "pack_shards": q_pack_shards,
+        "line_filter": q_line_filter,
         "kg_build": q_kg_build,
     }
 
@@ -1474,6 +1583,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _ORACLE_REPETITION,
         "decontaminate": _ORACLE_DECONTAMINATE,
         "pii_scrub": _oracle_pii(),
+        "stratified_sample": _oracle_stratified(),
+        "source_cap": _ORACLE_SOURCE_CAP,
+        "pack_shards": _ORACLE_PACK_SHARDS,
+        "line_filter": _ORACLE_LINE_FILTER,
         "geocode_join": _ORACLE_GEOCODE,
         "simhash": _ORACLE_SIMHASH,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,

@@ -1,0 +1,159 @@
+"""Tests for the selection/mixing/packing operators (selection.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yckg_spark.operators.selection import (
+    line_filter,
+    pack_shards,
+    source_cap,
+    stratified_sample,
+    word_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(5 + i % 9)),
+         "en" if i % 3 else "de", f"src{i % 4}", 10 + (i * 37) % 90)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+# -- stratified_sample -------------------------------------------------------
+
+
+def test_stratified_sample_rates_and_determinism(docs):
+    out = stratified_sample(docs, {"en": 0.5, "de": 0.1})
+    again = stratified_sample(docs, {"en": 0.5, "de": 0.1})
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == sorted(r.doc_id for r in again.select("doc_id").collect())
+    by_lang = dict(out.groupBy("lang").count().collect())
+    n_en = docs.filter("lang = 'en'").count()
+    # Bernoulli(0.5) over ~133 docs: 3-sigma band
+    assert abs(by_lang.get("en", 0) - 0.5 * n_en) < 3 * (0.25 * n_en) ** 0.5 + 1
+
+
+def test_stratified_sample_drops_unlisted_and_rate_edges(docs):
+    assert stratified_sample(docs, {"en": 1.0}).filter("lang = 'de'").count() == 0
+    assert stratified_sample(docs, {"en": 1.0}).count() == docs.filter("lang='en'").count()
+    assert stratified_sample(docs, {"en": 0.0}).count() == 0
+
+
+def test_stratified_sample_salt_redraws_independently(docs):
+    a = {r.doc_id for r in stratified_sample(docs, {"en": 0.5}).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, {"en": 0.5}, salt="epoch2").collect()}
+    assert a != b  # independent draw
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {})
+
+
+def test_stratified_sample_is_partitioning_invariant(docs):
+    a = {r.doc_id for r in stratified_sample(docs, {"en": 0.3, "de": 0.7}).collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(docs.repartition(17), {"en": 0.3, "de": 0.7}).collect()
+    }
+    assert a == b
+
+
+# -- source_cap ---------------------------------------------------------------
+
+
+def test_source_cap_keeps_top_k_per_source(docs):
+    out = source_cap(docs, cap=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    all_rows = docs.collect()
+    for src, rows in by_src.items():
+        assert len(rows) == 5
+        want = sorted(
+            (r for r in all_rows if r.source == src),
+            key=lambda r: (-r.n_chars, r.doc_id),
+        )[:5]
+        assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in want)
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_source_cap_broadcast_keep_matches(docs):
+    a = sorted(r.doc_id for r in source_cap(docs, cap=3).collect())
+    b = sorted(r.doc_id for r in source_cap(docs, cap=3, broadcast_keep=True).collect())
+    assert a == b
+
+
+# -- pack_shards --------------------------------------------------------------
+
+
+def _expected_shards(rows, budget):
+    acc, out = 0, {}
+    for doc_id, n in sorted(rows):
+        out[doc_id] = acc // budget
+        acc += n
+    return out
+
+
+def test_pack_shards_matches_sequential_oracle(docs):
+    out = pack_shards(docs, budget=100, n_buckets=7).collect()
+    toks = [(r.doc_id, r.n_tokens) for r in out]
+    want = _expected_shards(toks, 100)
+    assert {r.doc_id: r.shard for r in out} == want
+    # shards are contiguous from 0
+    shards = sorted({r.shard for r in out})
+    assert shards == list(range(len(shards)))
+
+
+def test_pack_shards_invariant_to_bucketing_and_partitioning(docs):
+    a = {(r.doc_id, r.shard) for r in pack_shards(docs, budget=64, n_buckets=3).collect()}
+    b = {
+        (r.doc_id, r.shard)
+        for r in pack_shards(docs.repartition(13), budget=64, n_buckets=29).collect()
+    }
+    assert a == b
+
+
+def test_pack_shards_tokens_col_and_sparse_ids(spark):
+    df = spark.createDataFrame(
+        [(10, 5), (1000, 5), (1000000, 5), (1000003, 5)], "doc_id long, toks long"
+    )
+    out = {r.doc_id: (r.n_tokens, r.shard) for r in
+           pack_shards(df, budget=10, tokens_col="toks", n_buckets=4).collect()}
+    assert out == {10: (5, 0), 1000: (5, 0), 1000000: (5, 1), 1000003: (5, 1)}
+
+
+def test_pack_shards_empty_and_oversized(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_shards(empty, budget=10).count() == 0
+    big = spark.createDataFrame(
+        [(0, "a " * 50), (1, "b"), (2, "c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.shard for r in pack_shards(big, budget=10).collect()}
+    # doc0 starts shard 0 (50 tokens), doc1 starts at offset 50 -> shard 5
+    assert out == {0: 0, 1: 5, 2: 5}
+
+
+def test_word_count_edges(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("a  b",), (None,)], "t string")
+    got = [r[0] for r in df.select(word_count(F.col("t"))).collect()]
+    assert got == [0, 0, 2, 0]
+
+
+# -- line_filter --------------------------------------------------------------
+
+
+def test_line_filter_rules(spark):
+    text = "keep this line here\nno\nthis has JavaScript inside yes\nanother good line\n{ bad }"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = line_filter(df, min_words=3).collect()[0]
+    assert (r.n_lines, r.n_kept) == (5, 2)
+    assert r.text_clean == "keep this line here\nanother good line"
+
+
+def test_line_filter_all_dropped_and_empty(spark):
+    df = spark.createDataFrame([(1, "no\nway"), (2, "")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.text_clean) for r in line_filter(df).collect()}
+    assert got == {1: (2, 0, ""), 2: (1, 0, "")}
