@@ -151,3 +151,63 @@ def test_repetition_signals_shuffles_grams_not_text(spark):
             continue
         inp = next((ln for ln in lines if ln.startswith("Input")), "")
         assert "text" not in inp, block
+
+
+def _exchanges_never_carry(plan: str, col: str):
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        assert col not in inp, block
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """Corpus mixing must be a pure narrow filter — zero exchanges."""
+    from yckg_spark.operators.selection import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "some text", "en" if i % 2 else "de") for i in range(8)],
+        ["doc_id", "text", "lang"],
+    )
+    plan = _plan(stratified_sample(docs, {"en": 0.5, "de": 0.1}))
+    assert ") Exchange" not in plan, plan
+
+
+def test_source_cap_windows_ids_only_and_broadcasts_keep(spark):
+    """The rank window runs on the (source, order, id) sliver — document
+    text must never ride an exchange — and with broadcast_keep the join
+    back is a BroadcastHashJoin."""
+    from yckg_spark.operators.selection import source_cap
+
+    docs = spark.createDataFrame(
+        [(i, "payload text", "s%d" % (i % 3), i * 7 % 50) for i in range(12)],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    plan = _plan(source_cap(docs, cap=2, broadcast_keep=True))
+    assert "BroadcastHashJoin" in plan, plan
+    _exchanges_never_carry(plan, "text")
+
+
+def test_pack_shards_avoids_global_window_and_text_shuffle(spark):
+    """The prefix sum must be per-bucket — no SinglePartition exchange
+    (the classic global-window funnel) — and text never rides a shuffle."""
+    from yckg_spark.operators.selection import pack_shards
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(16)], ["doc_id", "text"]
+    )
+    plan = _plan(pack_shards(docs, budget=10, n_buckets=4))
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # bucket offsets arrive broadcast
+    _exchanges_never_carry(plan, "text")
+
+
+def test_line_filter_is_shuffle_free(spark):
+    from yckg_spark.operators.selection import line_filter
+
+    docs = spark.createDataFrame(
+        [(1, "keep this line here\nno")], ["doc_id", "text"]
+    )
+    plan = _plan(line_filter(docs))
+    assert ") Exchange" not in plan, plan
