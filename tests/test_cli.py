@@ -5,6 +5,8 @@ spark-submit verification recipe."""
 
 import json
 
+from pyspark.sql import functions as F
+
 from yckg_spark.cli import main
 
 
@@ -252,3 +254,60 @@ def test_cli_curate_scrub_pii(spark, tmp_path, capsys):
     row = spark.read.parquet(out).collect()[0]
     assert row["text"] == "write to [EMAIL] from [IP] now"
     assert row["n_email"] == 1 and row["n_ipv4"] == 1
+
+
+def test_cli_select_full_pipeline(spark, tmp_path, capsys):
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "sel")
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta\nok", "en" if i % 2 else "de",
+         "s%d" % (i % 2), 30 + i)
+        for i in range(40)
+    ] + [(100, "tiny\nno", "en", "s0", 99)]  # every line under min-words
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(inp)
+    assert main([
+        "select", "--input", inp, "--output", out,
+        "--line-min-words", "3", "--sample-rates", "en=1.0",
+        "--cap", "10", "--pack-budget", "24", "--n-buckets", "4",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # de docs dropped (unlisted stratum), doc 100 dropped (no surviving line),
+    # en capped at 10 by descending n_chars
+    assert rep["docs_in"] == 41 and rep["docs_kept"] == 10
+    got = spark.read.parquet(out)
+    kept = got.collect()
+    assert all(r["lang"] == "en" for r in kept)
+    assert all(r["text"] == "alpha beta gamma delta epsilon zeta" for r in kept)
+    # cap prefers the largest n_chars among sampled en docs
+    assert sorted(r["n_chars"] for r in kept) == sorted(
+        sorted((r[4] for r in rows[:40] if r[2] == "en"), reverse=True)[:10]
+    )
+    # 6 tokens per doc, 24-token budget -> 4 docs per shard, 10 docs -> 3 shards
+    assert rep["n_shards"] == 3
+    shard_sizes = sorted(
+        r["count"] for r in got.groupBy("shard").count().collect()
+    )
+    assert shard_sizes == [2, 4, 4]
+    # partitionBy(shard) layout on disk
+    assert any(p.name.startswith("shard=") for p in (tmp_path / "sel").iterdir())
+
+
+def test_cli_select_sample_only_is_deterministic(spark, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    _write_docs(spark, inp, [(i, "w%d text" % i) for i in range(50)])
+    spark.read.parquet(inp).withColumn(
+        "lang", F.lit("en")
+    ).write.mode("overwrite").parquet(str(tmp_path / "docs2"))
+    outs = []
+    for out in ("a", "b"):
+        assert main([
+            "select", "--input", str(tmp_path / "docs2"),
+            "--output", str(tmp_path / out), "--sample-rates", "en=0.4",
+        ]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["n_shards"] is None
+        outs.append(sorted(
+            r["doc_id"] for r in spark.read.parquet(str(tmp_path / out)).collect()
+        ))
+    assert outs[0] == outs[1] and 0 < len(outs[0]) < 50

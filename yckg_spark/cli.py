@@ -313,6 +313,85 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_select(args) -> int:
+    """Data selection/mixing/packing pass, downstream of `curate`:
+    optional C4-style line cleaning (narrow, column-preserving — no join
+    back), deterministic stratified sampling for corpus mixing (zero
+    shuffle), per-source anti-domination caps (ids-only window +
+    broadcast keep-set), and token-budget shard packing (two-phase
+    distributed prefix sum). When packing is on, the output is laid out
+    partitionBy(shard) — the directory layout a training loader reads
+    shard-by-shard — and the kept count + shard count ride the write as
+    Observations, so the written store is never re-read."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.selection import (
+        line_filter,
+        pack_shards,
+        source_cap,
+        stratified_sample,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    id_col, text_col = args.id_col, args.text_col
+    cur = docs
+
+    if args.line_min_words is not None:
+        banned = tuple(b for b in args.banned.split(",") if b)
+        cur = (
+            line_filter(cur, min_words=args.line_min_words, banned=banned, text_col=text_col)
+            .filter(F.col("n_kept") > 0)
+            .drop(text_col, "n_lines", "n_kept")
+            .withColumnRenamed("text_clean", text_col)
+        )
+
+    if args.sample_rates:
+        rates = {}
+        for part in args.sample_rates.split(","):
+            k, _, v = part.partition("=")
+            rates[k.strip()] = float(v)
+        cur = stratified_sample(
+            cur, rates, strata_col=args.strata_col, id_col=id_col, salt=args.salt
+        )
+
+    if args.cap is not None:
+        cur = source_cap(
+            cur, cap=args.cap, partition_col=args.cap_by, order_col=args.cap_order,
+            id_col=id_col, broadcast_keep=True,
+        ).drop("rank")
+
+    packed = args.pack_budget is not None
+    if packed:
+        shards = pack_shards(
+            cur, budget=args.pack_budget, id_col=id_col, text_col=text_col,
+            n_buckets=args.n_buckets,
+        )
+        cur = cur.join(shards.select(id_col, "n_tokens", "shard"), on=id_col)
+
+    obs = Observation()
+    writer = cur.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_out"),
+        F.max(F.col("shard") if packed else F.lit(0)).alias("max_shard"),
+    ).write.mode("overwrite")
+    if packed:
+        writer = writer.partitionBy("shard")
+    writer.parquet(args.output)
+    n_out = obs.get["n_out"]
+    n_in = docs.count()
+    print(json.dumps({
+        "docs_in": n_in, "docs_kept": n_out, "removed": n_in - n_out,
+        "n_shards": (obs.get["max_shard"] + 1) if packed and n_out else None,
+        "line_filtered": args.line_min_words is not None,
+        "sampled": bool(args.sample_rates), "capped": args.cap is not None,
+        "seconds": round(time.time() - t0, 3), "output": args.output,
+    }))
+    return 0
+
+
 def cmd_link(args) -> int:
     """Wikidata entity-linking pass (north_rule: candidate entity-link
     scoring with link-score metrics written alongside the commit): parse
@@ -520,6 +599,34 @@ def make_parser() -> argparse.ArgumentParser:
     cu.add_argument("--scrub-pii", action="store_true",
                     help="redact emails/IPs/phones in the output text")
     cu.set_defaults(fn=cmd_curate)
+
+    se = sub.add_parser(
+        "select", help="line-clean + stratified-sample + source-cap + shard-pack"
+    )
+    se.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    se.add_argument("--output", required=True, help="selected parquet output dir")
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--line-min-words", type=int, default=None,
+                    help="enable C4-style line filter: min words per kept line")
+    se.add_argument("--banned", default="javascript,lorem ipsum,{",
+                    help="comma-separated substrings that drop a line")
+    se.add_argument("--sample-rates", default=None,
+                    help="per-stratum keep rates, e.g. 'en=0.6,de=0.3' "
+                         "(unlisted strata are dropped)")
+    se.add_argument("--strata-col", default="lang")
+    se.add_argument("--salt", default="", help="independent re-draw key")
+    se.add_argument("--cap", type=int, default=None,
+                    help="keep at most this many docs per --cap-by group")
+    se.add_argument("--cap-by", default="source")
+    se.add_argument("--cap-order", default="n_chars",
+                    help="prefer the highest values of this column under the cap")
+    se.add_argument("--pack-budget", type=int, default=None,
+                    help="pack docs into shards of at most this many tokens; "
+                         "output is partitioned by shard")
+    se.add_argument("--n-buckets", type=int, default=64,
+                    help="prefix-sum range buckets for packing")
+    se.set_defaults(fn=cmd_select)
 
     lk = sub.add_parser("link", help="Wikidata entity linking + location triples")
     lk.add_argument("--input", required=True, help="web_pages parquet path or table")

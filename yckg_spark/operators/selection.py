@@ -195,13 +195,14 @@ def line_filter(
     min_words: int = 3,
     banned: tuple[str, ...] = ("javascript", "lorem ipsum", "{"),
     text_col: str = "text",
-    id_col: str = "doc_id",
     line_sep: str = "\n",
 ) -> DataFrame:
     """C4-style line-level cleaning: drop lines with fewer than
     ``min_words`` whitespace words or containing any ``banned``
     substring (case-insensitive), keep the document with the survivors
-    rejoined. Returns (id, n_lines, n_kept, text_clean).
+    rejoined. Returns the input columns plus (n_lines, n_kept,
+    text_clean) — column-preserving so a pipeline can swap the cleaned
+    text in without a join back by id.
 
     Scale shape: a narrow per-row split -> filter -> rejoin of array
     expressions — no shuffle, no Python. The higher-order filter opts
@@ -220,9 +221,10 @@ def line_filter(
         return (wc >= min_words) & ~bad
 
     kept = F.filter(lines, keep)
-    return df.select(
-        F.col(id_col),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.array_join(kept, line_sep).alias("text_clean"),
+    return df.withColumns(
+        {
+            "n_lines": F.size(lines).cast("long"),
+            "n_kept": F.size(kept).cast("long"),
+            "text_clean": F.array_join(kept, line_sep),
+        }
     )
