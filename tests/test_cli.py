@@ -311,3 +311,37 @@ def test_cli_select_sample_only_is_deterministic(spark, tmp_path, capsys):
             r["doc_id"] for r in spark.read.parquet(str(tmp_path / out)).collect()
         ))
     assert outs[0] == outs[1] and 0 < len(outs[0]) < 50
+
+
+def test_cli_curate_then_select_chain(spark, tmp_path, capsys):
+    """The curate and select subcommands compose into the full
+    training-data pipeline: curation drops the degenerate-repetition doc
+    and scrubs PII, then selection mixes by language and packs shards —
+    the final corpus carries curated columns and a shard layout."""
+    inp, cur, sel = (str(tmp_path / p) for p in ("docs", "cur", "sel"))
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 40)
+        for i in range(20)
+    ] + [
+        (100, "spam spam spam spam spam spam spam spam", "en", "s0", 40),  # repetition
+        (101, "alpha beta gamma delta epsilon zeta eta theta", "de", "s1", 40),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(inp)
+
+    assert main(["curate", "--input", inp, "--output", cur,
+                 "--max-top2gram-frac", "0.5", "--scrub-pii"]) == 0
+    crep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert crep["docs_in"] == 22 and crep["docs_kept"] == 21  # repetition doc gone
+
+    assert main(["select", "--input", cur, "--output", sel,
+                 "--sample-rates", "en=1.0", "--pack-budget", "64",
+                 "--n-buckets", "4"]) == 0
+    srep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert srep["docs_in"] == 21 and srep["docs_kept"] == 20  # de doc dropped
+    out = spark.read.parquet(sel)
+    assert {"quality", "dup_word_frac", "n_tokens", "shard"} <= set(out.columns)
+    # 8 tokens per doc, 64-token budget -> 8 docs per shard over 20 docs
+    assert srep["n_shards"] == 3
+    assert out.filter("lang = 'de'").count() == 0
