@@ -1488,6 +1488,178 @@ FROM kept
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (CCNet-style boilerplate removal) over
+    synthesized multi-line text: every ' value ' becomes a line break (the
+    word-soup segments between them naturally repeat across documents),
+    plus one guaranteed-shared boilerplate footer (3 variants across the
+    corpus) and one guaranteed-unique line per document, so both drop and
+    keep behaviors fire deterministically through both engines."""
+    from yckg_spark.operators.curation import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.replace(F.col("text"), F.lit(" value "), F.lit("\n")),
+        F.lit("\nboilerplate footer "),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("\nunique line "),
+        did,
+    )
+    out = line_dedup(d.select("doc_id", injected.alias("text")), min_docs=2)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("text_deduped").alias("dedup_md5")
+    )
+
+
+_ORACLE_LINE_DEDUP = """
+WITH inj AS (
+  SELECT doc_id,
+         replace(text, ' value ', chr(10))
+           || chr(10) || 'boilerplate footer ' || CAST(doc_id % 3 AS VARCHAR)
+           || chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id, string_split(t, chr(10)) AS l FROM inj
+), ex AS (
+  SELECT doc_id, unnest(l) AS line FROM lines
+), freq AS (
+  SELECT line FROM ex GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+), fl AS (
+  SELECT coalesce(list(line), []) AS fls FROM freq
+), kept AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+         list_filter(l, x -> NOT list_contains(fls, x)) AS k
+  FROM lines, fl
+)
+SELECT doc_id, n_lines, CAST(len(k) AS BIGINT) AS n_kept,
+       md5(array_to_string(k, chr(10))) AS dedup_md5
+FROM kept
+"""
+
+
+def _messy_url() -> Column:
+    """Deterministic messy-URL synthesis exercising every canonicalization
+    rule: scheme/host case, default :80/:443 ports, tracking params, shuffled
+    param order, fragments, and trailing slashes. Branches 0 and 2 differ
+    only in junk, so they collapse to the SAME canonical URL — proof the
+    canonical form enables dedup that raw-string matching misses."""
+    d = F.col("doc_id")
+    host_n = (d % 7).cast("string")
+    page_n = (d % 25).cast("string")
+    did = d.cast("string")
+    return (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example"), host_n, F.lit(".COM:80/page/"),
+                page_n, F.lit("/?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("https://www.example"), host_n, F.lit(".com:443/page/"),
+                page_n, F.lit("?a=1&b=2&fbclid=IwAR"), did,
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("http://www.example"), host_n, F.lit(".com/page/"),
+                page_n, F.lit("?b=2&a=1#section-"), did,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.EXAMPLE"), host_n, F.lit(".com/page/"),
+                page_n, F.lit("/"),
+            )
+        )
+    )
+
+
+_MESSY_URL_SQL = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/page/'"
+    " || CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=feed&b=2&a=1' "
+    "WHEN 1 THEN 'https://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/page/'"
+    " || CAST(doc_id % 25 AS VARCHAR) || '?a=1&b=2&fbclid=IwAR' || CAST(doc_id AS VARCHAR) "
+    "WHEN 2 THEN 'http://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/'"
+    " || CAST(doc_id % 25 AS VARCHAR) || '?b=2&a=1#section-' || CAST(doc_id AS VARCHAR) "
+    "ELSE 'https://www.EXAMPLE' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/'"
+    " || CAST(doc_id % 25 AS VARCHAR) || '/' END"
+)
+
+
+def _canon_url_sql(u: str) -> str:
+    """DuckDB mirror of yckg_spark.operators.urls.canonicalize_url, built
+    from the same TRACKING_PARAM_RE. DuckDB's regexp_extract returns NULL
+    (not '') on no-match and array_to_string(NULL/[]) is NULL, hence the
+    coalesces Spark does not need."""
+    from yckg_spark.operators.urls import TRACKING_PARAM_RE
+
+    scheme = f"lower(coalesce(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''))"
+    hostport = f"lower(coalesce(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ''))"
+    host = (
+        f"CASE {scheme} WHEN 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN 'https' THEN regexp_replace({hostport}, ':443$', '') ELSE {hostport} END"
+    )
+    pstr = (
+        f"regexp_replace(coalesce(regexp_extract({u},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/+$', '')"
+    )
+    path = f"CASE WHEN {pstr} = '' THEN '/' ELSE {pstr} END"
+    params = (
+        f"list_sort(list_filter(string_split(coalesce(regexp_extract({u},"
+        f" '\\?([^#]*)', 1), ''), '&'),"
+        f" x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')))"
+    )
+    q = f"coalesce(array_to_string({params}, '&'), '')"
+    return (
+        f"CASE WHEN {scheme} = '' THEN {u} ELSE {scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END END"
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Per-document URL canonicalization over the synthesized messy URLs —
+    pure narrow Column expressions, zero shuffle."""
+    from yckg_spark.operators.urls import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", canonicalize_url(_messy_url()).alias("url_canon"))
+
+
+def _oracle_url_canonicalize():
+    return (
+        f"WITH inj AS (SELECT doc_id, trim({_MESSY_URL_SQL}) AS u FROM documents)\n"
+        f"SELECT doc_id, {_canon_url_sql('u')} AS url_canon FROM inj"
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-keyed dedup over the canonicalized messy URLs: one row per
+    canonical URL with the kept doc (largest n_chars, ties to smallest id)
+    and the collapse count. Single map-side-partial groupBy, no window."""
+    from yckg_spark.operators.urls import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return url_dedup(d.select("doc_id", _messy_url().alias("url"), "n_chars"))
+
+
+def _oracle_url_dedup():
+    return (
+        f"WITH inj AS (SELECT doc_id, n_chars, trim({_MESSY_URL_SQL}) AS u FROM documents),\n"
+        f"c AS (SELECT doc_id, n_chars, {_canon_url_sql('u')} AS url_canon FROM inj),\n"
+        "r AS (SELECT url_canon, doc_id,\n"
+        "        row_number() OVER (PARTITION BY url_canon ORDER BY n_chars DESC, doc_id ASC) AS rn,\n"
+        "        count(*) OVER (PARTITION BY url_canon) AS n_dups\n"
+        "      FROM c)\n"
+        "SELECT url_canon, doc_id AS keep_id, CAST(n_dups AS BIGINT) AS n_dups FROM r WHERE rn = 1"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_customer": q_kg_triples_customer,
@@ -1539,6 +1711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "pack_shards": q_pack_shards,
         "line_filter": q_line_filter,
+        "line_dedup": q_line_dedup,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
         "kg_build": q_kg_build,
     }
 
@@ -1587,6 +1762,9 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": _ORACLE_SOURCE_CAP,
         "pack_shards": _ORACLE_PACK_SHARDS,
         "line_filter": _ORACLE_LINE_FILTER,
+        "line_dedup": _ORACLE_LINE_DEDUP,
+        "url_canonicalize": _oracle_url_canonicalize(),
+        "url_dedup": _oracle_url_dedup(),
         "geocode_join": _ORACLE_GEOCODE,
         "simhash": _ORACLE_SIMHASH,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,

@@ -3,7 +3,12 @@
 import pytest
 from pyspark.sql import functions as F
 
-from yckg_spark.operators.curation import decontaminate, pii_scrub, repetition_signals
+from yckg_spark.operators.curation import (
+    decontaminate,
+    line_dedup,
+    pii_scrub,
+    repetition_signals,
+)
 
 
 def _docs(spark, texts):
@@ -99,3 +104,61 @@ def test_curation_tolerates_null_and_empty_text(spark):
     # null/short texts never participate in decontamination
     bench = spark.createDataFrame([(9, "a b c d e f g h")], "doc_id long, text string")
     assert decontaminate(df, bench, n=8).count() == 0
+
+
+def test_line_dedup_drops_shared_keeps_unique(spark):
+    df = _docs(
+        spark,
+        [
+            "unique one alpha\nshared footer\nunique one beta",
+            "shared footer\nunique two alpha\nshared footer",
+            "unique three alpha\nshared footer",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert rows[0]["text_deduped"] == "unique one alpha\nunique one beta"
+    assert (rows[0]["n_lines"], rows[0]["n_kept"]) == (3, 2)
+    # both copies of the shared line drop from doc 1
+    assert rows[1]["text_deduped"] == "unique two alpha"
+    assert (rows[1]["n_lines"], rows[1]["n_kept"]) == (3, 1)
+    assert rows[2]["text_deduped"] == "unique three alpha"
+
+
+def test_line_dedup_within_doc_repeat_counts_once(spark):
+    df = _docs(spark, ["only here\nonly here", "other text line"])
+    rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    # repeated within ONE doc -> distinct-doc count 1 -> kept, order intact
+    assert rows[0]["text_deduped"] == "only here\nonly here"
+    assert rows[0]["n_kept"] == 2
+
+
+def test_line_dedup_all_boilerplate_survives_empty(spark):
+    df = _docs(spark, ["footer", "footer", "footer\nreal content line"])
+    rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert len(rows) == 3  # fully-deduped docs still present
+    assert rows[0]["text_deduped"] == "" and rows[0]["n_kept"] == 0
+    assert rows[2]["text_deduped"] == "real content line"
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    df = _docs(spark, ["pair line\na", "pair line\nb", "c"])
+    # at min_docs=3 a line in only 2 docs is kept
+    rows = {r["doc_id"]: r for r in line_dedup(df, min_docs=3).collect()}
+    assert rows[0]["text_deduped"] == "pair line\na"
+    rows = {r["doc_id"]: r for r in line_dedup(df, min_docs=2).collect()}
+    assert rows[0]["text_deduped"] == "a"
+
+
+def test_line_dedup_null_and_empty_text(spark):
+    df = _docs(spark, [None, "", "x\ny"])
+    rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    # null coalesces to "" -> one empty line; two docs share it -> dropped
+    assert rows[0]["n_lines"] == 1 and rows[0]["n_kept"] == 0
+    assert rows[1]["n_lines"] == 1 and rows[1]["n_kept"] == 0
+    assert rows[2]["text_deduped"] == "x\ny"
+
+
+def test_line_dedup_order_preserved_across_drops(spark):
+    df = _docs(spark, ["z last\ncommon\na first", "common\nmiddle own"])
+    rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert rows[0]["text_deduped"] == "z last\na first"  # original order, not sorted

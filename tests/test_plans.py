@@ -211,3 +211,65 @@ def test_line_filter_is_shuffle_free(spark):
     )
     plan = _plan(line_filter(docs))
     assert ") Exchange" not in plan, plan
+
+
+def test_line_dedup_counting_exchange_is_hashes_only(spark):
+    """Cross-doc line dedup: the frequency-count exchanges (partitioned on
+    the 64-bit line hash) must carry (lh, id) only — never the line string
+    or the document text; the frequent-line sets arrive via
+    BroadcastHashJoin. Only the final by-id rebuild may move lines."""
+    from yckg_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "shared footer\nunique line %d" % i) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(line_dedup(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    lh_exchanges = 0
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        args = next((ln for ln in lines if ln.startswith("Arguments")), "")
+        if "lh#" not in args:
+            continue
+        lh_exchanges += 1
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        assert "line#" not in inp and "text#" not in inp, block
+    assert lh_exchanges >= 1, plan
+
+
+def test_url_canonicalize_is_shuffle_free(spark):
+    """Canonicalization is a pure narrow Column map — zero exchanges."""
+    from yckg_spark.operators.urls import canonicalize_url
+
+    docs = spark.createDataFrame(
+        [(i, "HTTP://E.com:80/p/%d/?utm_source=x&a=1" % i) for i in range(4)],
+        ["doc_id", "url"],
+    )
+    from pyspark.sql import functions as F
+
+    plan = _plan(docs.select(canonicalize_url(F.col("url")).alias("c")))
+    assert ") Exchange" not in plan, plan
+
+
+def test_url_dedup_single_partial_agg_no_window(spark):
+    """URL dedup must be ONE hash exchange on the canonical url feeding a
+    two-phase (partial -> final) max_by aggregate — no Window, no second
+    shuffle, and document text never projected into the plan."""
+    from yckg_spark.operators.urls import url_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "http://e.com/p/%d" % (i % 3), "payload text", i * 7 % 50) for i in range(12)],
+        ["doc_id", "url", "text", "n_chars"],
+    )
+    plan = _plan(url_dedup(docs))
+    assert "Window" not in plan, plan
+    exchanges = [
+        b for b in plan.split("\n\n") if b.splitlines() and ") Exchange" in b.splitlines()[0]
+    ]
+    assert len(exchanges) == 1, plan
+    assert "url_canon" in exchanges[0], plan
+    assert "partial_max_by" in plan or "partial" in plan.lower(), plan
+    _exchanges_never_carry(plan, "text#")

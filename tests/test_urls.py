@@ -1,0 +1,103 @@
+"""URL canonicalization and URL-keyed dedup."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from yckg_spark.operators.urls import canonicalize_url, url_dedup
+
+CANON_CASES = [
+    # scheme + host case, default http port, trailing slash, fragment
+    ("HTTP://WWW.Example.COM:80/a/b/#frag", "http://www.example.com/a/b"),
+    # default https port
+    ("https://Example.com:443/x", "https://example.com/x"),
+    # non-default port kept
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    # :80 is only default for http — kept on https
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    # empty path -> /
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com?a=1", "http://example.com/?a=1"),
+    # params sorted, tracking dropped, fragment dropped
+    (
+        "http://e.com/p?z=9&utm_source=x&a=1&fbclid=F&b=2#s",
+        "http://e.com/p?a=1&b=2&z=9",
+    ),
+    # all params tracking -> no query at all
+    ("http://e.com/p?utm_campaign=c&gclid=g", "http://e.com/p"),
+    # empty query marker dropped
+    ("http://e.com/p?", "http://e.com/p"),
+    # repeated slashes at end all stripped, inner kept
+    ("http://e.com/a//b///", "http://e.com/a//b"),
+    # userinfo preserved (lowercased with the authority)
+    ("http://User@Example.com/x", "http://user@example.com/x"),
+    # tracking match is key-anchored: a VALUE containing utm_ survives
+    ("http://e.com/p?q=utm_source", "http://e.com/p?q=utm_source"),
+    # ref is a tracking key; pref is not (anchored match)
+    ("http://e.com/p?ref=home&pref=2", "http://e.com/p?pref=2"),
+    # whitespace trimmed
+    ("  http://e.com/x  ", "http://e.com/x"),
+    # no scheme -> passed through trimmed, unchanged
+    (" not a url ", "not a url"),
+    ("/relative/path?a=1", "/relative/path?a=1"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CANON_CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_idempotent(spark):
+    """Canonicalizing a canonical URL is a no-op."""
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CANON_CASES)], "i long, url string"
+    )
+    once = df.select("i", canonicalize_url(F.col("url")).alias("c"))
+    twice = once.select("i", canonicalize_url(F.col("c")).alias("c"))
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+@pytest.fixture
+def dup_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "HTTP://E.com:80/a/?utm_source=x", 10),
+            (2, "http://e.com/a", 30),
+            (3, "http://e.com/a#frag", 30),  # ties with 2 -> lower id wins
+            (4, "https://e.com/a", 5),
+            (5, "plain string", 1),
+        ],
+        "doc_id long, url string, n_chars long",
+    )
+
+
+def test_url_dedup_winner_and_counts(spark, dup_docs):
+    rows = {r["url_canon"]: r for r in url_dedup(dup_docs).collect()}
+    assert rows["http://e.com/a"]["keep_id"] == 2  # max n_chars, tie -> min id
+    assert rows["http://e.com/a"]["n_dups"] == 3
+    assert rows["https://e.com/a"]["keep_id"] == 4
+    assert rows["https://e.com/a"]["n_dups"] == 1
+    assert rows["plain string"]["n_dups"] == 1
+
+
+def test_url_dedup_without_canonicalization(spark, dup_docs):
+    rows = url_dedup(dup_docs, canonicalize=False).collect()
+    # raw strings all differ -> no collapse
+    assert len(rows) == 5
+    assert all(r["n_dups"] == 1 for r in rows)
+
+
+def test_url_dedup_null_order_loses(spark):
+    df = spark.createDataFrame(
+        [(1, "http://e.com/a", None), (2, "http://e.com/a", 0)],
+        "doc_id long, url string, n_chars long",
+    )
+    (row,) = url_dedup(df).collect()
+    assert row["keep_id"] == 2 and row["n_dups"] == 2

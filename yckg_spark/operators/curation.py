@@ -102,6 +102,82 @@ def repetition_signals(
 
 
 # ---------------------------------------------------------------------------
+# cross-document line deduplication (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Drop every line that appears verbatim in at least ``min_docs``
+    distinct documents — the CCNet/RefinedWeb cross-document paragraph
+    dedup that removes navigation bars, cookie banners, and footer
+    boilerplate an in-document filter can never see. Returns one row per
+    input document: (id, n_lines, n_kept, text_deduped), line order
+    preserved; a document whose every line was boilerplate survives with
+    ``n_kept = 0`` and empty text. A line repeated only *within* one
+    document counts that document once and is kept.
+
+    Scale shape, in three exchanges none of which carries document text:
+    (1) frequency counting shuffles (64-bit line-hash, id) pairs with
+    map-side combine — never the line string; (2) the hash-frequent
+    *superset* is exact-verified by string, but only the candidate lines
+    (semi-joined through the broadcast hash set) ride that recount, so a
+    hash collision can inflate the candidate set yet never mis-drop a
+    line; (3) the rebuild regroups (pos, kept-line) slivers by document
+    id — the only exchange that moves text, and it moves each surviving
+    line exactly once (CCNet itself pays the same paragraph shuffle).
+    The exploded ``lines`` frame is deliberately recomputed on each
+    branch rather than persisted: it is wider than the corpus and each
+    recompute is a narrow scan+split.
+
+    Note: blank lines are lines — if ≥ ``min_docs`` documents contain an
+    empty line it is dropped everywhere, which matches the CCNet
+    behavior of collapsing shared empties.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)
+        ).alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    # phase 1: candidate hashes — equal strings hash equal, so every truly
+    # frequent line's hash-class reaches min_docs (superset, never misses)
+    cand = (
+        lines.select("lh", id_col)
+        .groupBy("lh")
+        .agg(F.count_distinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("lh")
+    )
+    # phase 2: exact recount by string among the candidates only
+    freq = (
+        lines.join(F.broadcast(cand), on="lh", how="left_semi")
+        .groupBy("line")
+        .agg(F.count_distinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("line", F.lit(True).alias("_freq"))
+    )
+    flagged = lines.join(F.broadcast(freq), on="line", how="left")
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("_freq").isNull(), F.struct("pos", "line")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_freq").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(kept, lambda s: s["line"]), line_sep
+        ).alias("text_deduped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 

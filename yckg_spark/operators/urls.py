@@ -1,0 +1,107 @@
+"""URL canonicalization and URL-keyed deduplication — the first dedup
+pass every web-crawl pipeline runs, before any content hashing: the same
+page is crawled under scheme/host case variants, default ports, tracking
+query parameters, shuffled parameter order, fragments, and trailing
+slashes.
+
+Reference parity note: the reference (single-node pandas + rdflib) never
+sees raw URLs; this is one of the large-scale-pipeline extensions
+mandated by the build brief.
+
+Everything here is pure JVM Column expressions (regexp + array ops) —
+narrow, whole-stage-codegen-eligible except the one higher-order
+parameter filter, no Python, no shuffle until the final keyed groupBy.
+The regex vocabulary is kept to the common subset of Java regex (Spark)
+and RE2 (the DuckDB oracle): no lookaround, no backreferences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Query parameters that identify a click, not a resource. Anchored
+# key-match against each `key=value` token.
+TRACKING_PARAM_RE = (
+    r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref)="
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of an absolute URL:
+
+    - scheme and host:port lowercased (ports are digits — unaffected);
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+    - trailing path slashes stripped, empty path normalized to ``/``;
+    - tracking query parameters (TRACKING_PARAM_RE) dropped;
+    - surviving parameters sorted bytewise and rejoined with ``&``;
+    - the fragment dropped.
+
+    A value with no ``scheme://`` prefix is passed through trimmed and
+    unchanged (relative URLs have no canonical absolute form without a
+    base). Userinfo (``user@host``) and bracketed IPv6 hosts are kept
+    verbatim apart from lowercasing; a literal ``:80``/``:443`` suffix
+    on an IPv6 authority is treated as a port like any other.
+    """
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path_stripped = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/+$", "")
+    path = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
+    params = F.filter(
+        F.split(F.regexp_extract(u, _QUERY_RE, 1), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    return F.when(scheme == "", u).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+        )
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Collapse documents that share a canonical URL, keeping the one
+    with the largest ``order_col`` (ties broken by the smallest id — a
+    total, replayable order). Returns one row per canonical URL:
+    (url_canon, keep_id, n_dups). Anti-join ``n_dups > 1`` groups' losers
+    back onto the corpus to drop them, or semi-join ``keep_id``.
+
+    Scale shape: the corpus is projected to (canonical-url, id, order)
+    before anything moves — document text never rides the exchange — and
+    the winner is picked by ``max_by`` inside a single map-side-partial
+    groupBy: one shuffle of url-sized keys, no window over a hot
+    partition, no join back unless the caller wants one.
+    """
+    canon = canonicalize_url(F.col(url_col)) if canonicalize else F.col(url_col)
+    slim = df.select(
+        canon.alias("url_canon"),
+        F.col(id_col),
+        F.coalesce(F.col(order_col), F.lit(-1)).cast("long").alias("_ord"),
+    )
+    return slim.groupBy("url_canon").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("_ord"), (-F.col(id_col)).alias("neg"))
+        ).alias("keep_id"),
+        F.count("*").cast("long").alias("n_dups"),
+    )
