@@ -345,3 +345,34 @@ def test_cli_curate_then_select_chain(spark, tmp_path, capsys):
     # 8 tokens per doc, 64-token budget -> 8 docs per shard over 20 docs
     assert srep["n_shards"] == 3
     assert out.filter("lang = 'de'").count() == 0
+
+
+def test_cli_curate_dedup_lines_and_urls(spark, tmp_path, capsys):
+    """URL dedup collapses the crawl duplicate first, then cross-doc line
+    dedup strips the shared footer before scoring, and the report carries
+    the line/url accounting."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "cur")
+    rows = [
+        # docs 1 and 2 are the same page crawled twice (tracking param +
+        # default port); 2 wins on n_chars
+        (1, "real content one here\nshared footer line", "HTTP://E.com:80/a?utm_source=x", 10),
+        (2, "real content one here\nshared footer line", "http://e.com/a", 20),
+        (3, "real content two here\nshared footer line", "http://e.com/b", 20),
+        (4, "real content three here\nshared footer line", "http://e.com/c", 20),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, url string, n_chars long"
+    ).write.mode("overwrite").parquet(inp)
+    assert main([
+        "curate", "--input", inp, "--output", out,
+        "--dedup-urls", "--dedup-lines", "2",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] == 4 and rep["n_urls_unique"] == 3
+    assert rep["docs_kept"] == 3
+    # 3 surviving docs x 2 lines, the shared footer dropped from each
+    assert rep["lines_in"] == 6 and rep["lines_kept"] == 3
+    kept = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(kept) == {2, 3, 4}  # url loser (doc 1) gone
+    assert kept[2]["text"] == "real content one here"
+    assert kept[4]["text"] == "real content three here"

@@ -264,13 +264,48 @@ def cmd_curate(args) -> int:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from yckg_spark.operators.curation import decontaminate, pii_scrub, repetition_signals
+    from yckg_spark.operators.curation import (
+        decontaminate,
+        line_dedup,
+        pii_scrub,
+        repetition_signals,
+    )
     from yckg_spark.operators.text_analysis import quality_score
+    from yckg_spark.operators.urls import url_dedup
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
     t0 = time.time()
     id_col, text_col = args.id_col, args.text_col
+
+    n_urls_unique = None
+    if args.dedup_urls:
+        # URL-keyed dedup runs first: it is the cheapest pass (no text
+        # ever moves) and shrinks everything downstream
+        keep = url_dedup(
+            docs, url_col=args.url_col, id_col=id_col, order_col=args.url_order_col
+        ).persist()
+        n_urls_unique = keep.count()
+        docs = docs.join(
+            keep.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
+        )
+
+    lines_in = lines_kept = None
+    if args.dedup_lines is not None:
+        # boilerplate removal BEFORE scoring (the CCNet order): repeated
+        # navigation/footer lines would otherwise drag quality and
+        # repetition signals of otherwise-good documents
+        dd = line_dedup(
+            docs, min_docs=args.dedup_lines, text_col=text_col, id_col=id_col
+        ).persist()
+        lines_in, lines_kept = dd.agg(
+            F.sum("n_lines"), F.sum("n_kept")
+        ).first()
+        docs = docs.drop(text_col).join(
+            dd.select(id_col, F.col("text_deduped").alias(text_col)),
+            on=id_col,
+            how="inner",
+        )
 
     scored = quality_score(docs, text_col=text_col).select(
         *docs.columns, "quality"
@@ -304,12 +339,22 @@ def cmd_curate(args) -> int:
     n_out = obs.get["n_out"]
     if n_contaminated is not None:
         flagged.unpersist()
-    n_in = docs.count()
-    print(json.dumps({
+    if lines_in is not None:
+        dd.unpersist()
+    if n_urls_unique is not None:
+        keep.unpersist()
+    n_in = spark.read.parquet(args.input).count()
+    out = {
         "docs_in": n_in, "docs_kept": n_out, "removed": n_in - n_out,
         "n_contaminated": n_contaminated, "scrubbed_pii": bool(args.scrub_pii),
         "seconds": round(time.time() - t0, 3), "output": args.output,
-    }))
+    }
+    if n_urls_unique is not None:
+        out["n_urls_unique"] = n_urls_unique
+    if lines_in is not None:
+        out["lines_in"] = lines_in
+        out["lines_kept"] = lines_kept
+    print(json.dumps(out))
     return 0
 
 
@@ -598,6 +643,15 @@ def make_parser() -> argparse.ArgumentParser:
                     help="decontamination n-gram width")
     cu.add_argument("--scrub-pii", action="store_true",
                     help="redact emails/IPs/phones in the output text")
+    cu.add_argument("--dedup-lines", type=int, default=None, metavar="MIN_DOCS",
+                    help="drop lines appearing verbatim in >= MIN_DOCS "
+                         "documents (CCNet-style boilerplate removal), "
+                         "before scoring")
+    cu.add_argument("--dedup-urls", action="store_true",
+                    help="canonicalize --url-col and keep one doc per "
+                         "canonical URL (largest --url-order-col wins)")
+    cu.add_argument("--url-col", default="url")
+    cu.add_argument("--url-order-col", default="n_chars")
     cu.set_defaults(fn=cmd_curate)
 
     se = sub.add_parser(
