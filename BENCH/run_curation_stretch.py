@@ -13,7 +13,18 @@ from the base corpus:
     base doc_id%5==0 slice): every replica of a contaminated base doc is
     flagged, so flagged == replicas x base_flagged;
   * pii_scrub over text with one injected email/IP/phone per row:
-    sum(n_email) == n_rows (and the same for ipv4/phone).
+    sum(n_email) == n_rows (and the same for ipv4/phone);
+  * line_dedup over synthesized multi-line text (base word-soup lines +
+    one globally unique line per row): every base-derived line recurs in
+    all replicas (>= min_docs) and must drop, the unique line must
+    survive — so n_kept == 1 for EVERY row and text_deduped ==
+    'unique line <id>' exactly;
+  * url_canonicalize / url_dedup over the driver entry's messy-URL
+    synthesis: doc_id mod (4, 7, 25) are coprime, so at 100x scale every
+    (branch, host, page) combination occurs and the canonical-URL space
+    is exactly 3*7*25 = 525 groups; url_dedup's (groupBy + max_by)
+    winners must equal an independent window-ranked derivation, and
+    n_dups must sum to n_rows.
 
 Each operator is timed (min of --reps interleaved) and the check is
 recorded. Writes BENCH/curation_stretch.json.
@@ -85,11 +96,33 @@ def main() -> None:
         F.lit(".0.1 tel +1-555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
+    did = F.col("doc_id").cast("string")
+    text_lines = F.concat(
+        F.replace(F.col("text"), F.lit(" value "), F.lit("\n")),
+        F.lit("\nunique line "), did,
+        F.lit("\nboilerplate footer "), (F.col("doc_id") % 3).cast("string"),
+    )
+    host_n = (F.col("doc_id") % 7).cast("string")
+    page_n = (F.col("doc_id") % 25).cast("string")
+    messy_url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(
+            F.lit("HTTP://WWW.Example"), host_n, F.lit(".COM:80/page/"),
+            page_n, F.lit("/?utm_source=feed&b=2&a=1")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(
+            F.lit("https://www.example"), host_n, F.lit(".com:443/page/"),
+            page_n, F.lit("?a=1&b=2&fbclid=IwAR"), did))
+        .when(F.col("doc_id") % 4 == 2, F.concat(
+            F.lit("http://www.example"), host_n, F.lit(".com/page/"),
+            page_n, F.lit("?b=2&a=1#section-"), did))
+        .otherwise(F.concat(
+            F.lit("https://www.EXAMPLE"), host_n, F.lit(".com/page/"),
+            page_n, F.lit("/")))
+    )
     # a real 100-TB corpus arrives as many splits; a single synthetic file
     # would serialize the scan (one task) and measure nothing
-    big.withColumn("text_pii", injected).repartition(int(CPUS)).write.parquet(
-        f"{WORK}/docs"
-    )
+    big.withColumns(
+        {"text_pii": injected, "text_lines": text_lines, "url": messy_url}
+    ).repartition(int(CPUS)).write.parquet(f"{WORK}/docs")
     synth_s = round(time.time() - t0, 3)
     docs = spark.read.parquet(f"{WORK}/docs")
     n_rows = docs.count()
@@ -136,6 +169,67 @@ def main() -> None:
     )
     checks["pii_one_of_each_per_row"] = (agg["e"], agg["i"], agg["p"]) == (n_rows,) * 3
 
+    from yckg_spark.operators.curation import line_dedup
+    from yckg_spark.operators.urls import canonicalize_url, url_dedup
+
+    ld = timed(
+        samples, "line_dedup",
+        lambda: line_dedup(docs, text_col="text_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_kept").alias("kept"),
+            F.sum(
+                F.when(
+                    F.col("text_deduped")
+                    == F.concat(F.lit("unique line "), F.col("doc_id").cast("string")),
+                    1,
+                ).otherwise(0)
+            ).alias("exact"),
+        ).collect()[0],
+        args.reps,
+    )
+    checks["line_dedup_exactly_the_unique_line_survives"] = (
+        ld["n"], ld["kept"], ld["exact"]
+    ) == (n_rows,) * 3
+
+    canon_groups = timed(
+        samples, "url_canonicalize",
+        lambda: docs.agg(
+            F.count_distinct(canonicalize_url(F.col("url"))).alias("g")
+        ).collect()[0]["g"],
+        args.reps,
+    )
+    checks["url_canonical_space_is_525"] = canon_groups == 3 * 7 * 25
+
+    winners = timed(
+        samples, "url_dedup",
+        lambda: {
+            r["url_canon"]: (r["keep_id"], r["n_dups"])
+            for r in url_dedup(docs).collect()
+        },
+        args.reps,
+    )
+    # independent derivation of the same winners via a window rank
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url_canon").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    expected = {
+        r["url_canon"]: (r["doc_id"], r["n_dups"])
+        for r in docs.select(
+            canonicalize_url(F.col("url")).alias("url_canon"), "doc_id", "n_chars"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(Window.partitionBy("url_canon")))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    checks["url_dedup_matches_window_derivation"] = winners == expected
+    checks["url_dedup_n_dups_sum_to_rows"] = (
+        sum(v[1] for v in winners.values()) == n_rows
+    )
+
     timings = {name: min(s) for name, s in samples.items()}
     out = {
         "metric": "curation_stretch",
@@ -154,6 +248,7 @@ def main() -> None:
             "signature_count_100x": sig_distinct,
             "base_flagged": base_flagged,
             "flagged_100x": flagged,
+            "url_canonical_groups": canon_groups,
         },
         "checks": checks,
         "all_checks_pass": all(checks.values()),

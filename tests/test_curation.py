@@ -162,3 +162,19 @@ def test_line_dedup_order_preserved_across_drops(spark):
     df = _docs(spark, ["z last\ncommon\na first", "common\nmiddle own"])
     rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
     assert rows[0]["text_deduped"] == "z last\na first"  # original order, not sorted
+
+
+def test_line_dedup_shuffle_join_path_matches_broadcast(spark):
+    df = _docs(
+        spark,
+        [
+            "unique one alpha\nshared footer\nunique one beta",
+            "shared footer\nunique two alpha\nshared footer",
+            "unique three alpha\nshared footer",
+            None,
+            "",
+        ],
+    )
+    a = sorted(line_dedup(df, broadcast_freq=True).collect())
+    b = sorted(line_dedup(df, broadcast_freq=False).collect())
+    assert a == b

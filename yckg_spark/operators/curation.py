@@ -112,6 +112,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_sep: str = "\n",
+    broadcast_freq: bool = True,
 ) -> DataFrame:
     """Drop every line that appears verbatim in at least ``min_docs``
     distinct documents — the CCNet/RefinedWeb cross-document paragraph
@@ -138,6 +139,13 @@ def line_dedup(
     Note: blank lines are lines — if ≥ ``min_docs`` documents contain an
     empty line it is dropped everywhere, which matches the CCNet
     behavior of collapsing shared empties.
+
+    ``broadcast_freq`` (default True) broadcasts the candidate-hash and
+    frequent-line sets — right whenever the boilerplate vocabulary fits
+    an executor (it usually does: even 10M frequent lines × ~100 B is
+    ~1 GB). On a corpus whose frequent set outgrows that, pass False and
+    both joins fall back to shuffle joins keyed on the 8-byte hash /
+    line string — same answer, one extra exchange of the exploded ids.
     """
     lines = df.select(
         F.col(id_col),
@@ -154,15 +162,19 @@ def line_dedup(
         .filter(F.col("ndocs") >= min_docs)
         .select("lh")
     )
+    if broadcast_freq:
+        cand = F.broadcast(cand)
     # phase 2: exact recount by string among the candidates only
     freq = (
-        lines.join(F.broadcast(cand), on="lh", how="left_semi")
+        lines.join(cand, on="lh", how="left_semi")
         .groupBy("line")
         .agg(F.count_distinct(id_col).alias("ndocs"))
         .filter(F.col("ndocs") >= min_docs)
         .select("line", F.lit(True).alias("_freq"))
     )
-    flagged = lines.join(F.broadcast(freq), on="line", how="left")
+    if broadcast_freq:
+        freq = F.broadcast(freq)
+    flagged = lines.join(freq, on="line", how="left")
     kept = F.array_sort(
         F.collect_list(F.when(F.col("_freq").isNull(), F.struct("pos", "line")))
     )
