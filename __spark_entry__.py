@@ -834,6 +834,79 @@ WHERE dup.node IS NULL
 """
 
 
+def q_dedup_best(spark, sf_dir):
+    """Quality-aware keep-one-per-component: per simhash near-dup cluster,
+    keep the member with the largest n_chars (ties -> smallest id) instead
+    of the arbitrary min-id representative."""
+    from yckg_spark.operators.dedup import dedup_keep_best, simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, chunks=4, max_hamming=3, use_md5=True)
+    return dedup_keep_best(docs, pairs, "n_chars").select("doc_id")
+
+
+_ORACLE_DEDUP_BEST = _cc_cluster_sql() + """
+, ranked AS (
+  SELECT c.node,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.node ASC
+         ) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.node
+)
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN (SELECT node FROM ranked WHERE rn > 1) dup ON d.doc_id = dup.node
+WHERE dup.node IS NULL
+"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup of an ingest batch against an existing
+    corpus. The synthetic documents table has no duplicate texts, so the
+    overlap is constructed deterministically: corpus = even ids; the batch
+    is the odd ids plus a re-crawl slice of the corpus under shifted ids
+    (must all be dropped) plus a second copy of some batch docs (the
+    in-batch min-id rule must drop the copy)."""
+    from yckg_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(cols)
+    newdocs = docs.filter(F.col("doc_id") % 2 == 1).select(cols)
+    recrawl = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    inbatch = newdocs.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    batch = newdocs.unionByName(recrawl).unionByName(inbatch)
+    return incremental_dedup(batch, corpus).select("doc_id")
+
+
+_ORACLE_DEDUP_INCREMENTAL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), newdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+), batch AS (
+  SELECT doc_id, text FROM newdocs
+  UNION ALL
+  SELECT doc_id + 100000, text FROM corpus WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM newdocs WHERE doc_id % 7 = 1
+), seen AS (
+  SELECT DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM corpus
+), fresh AS (
+  SELECT b.doc_id, trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')) AS t
+  FROM batch b
+  LEFT JOIN seen s ON s.t = trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g'))
+  WHERE s.t IS NULL
+)
+SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY t
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from yckg_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1696,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "neardup_clusters": q_neardup_clusters,
         "dedup_representatives": q_dedup_representatives,
+        "dedup_best": q_dedup_best,
+        "dedup_incremental": q_dedup_incremental,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1770,6 +1845,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
         "neardup_clusters": _ORACLE_NEARDUP_CLUSTERS,
         "dedup_representatives": _ORACLE_DEDUP_REPRESENTATIVES,
+        "dedup_best": _ORACLE_DEDUP_BEST,
+        "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         "kg_build": _ORACLE_KG_BUILD,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),

@@ -169,6 +169,47 @@ def test_dedup_keep_representatives(spark):
     assert kept == [0, 1, 4, 5, 7]
 
 
+def test_dedup_keep_best_prefers_high_score(spark):
+    """Per component, the max-score member survives (ties -> min id), not
+    the min-id member; singletons pass through untouched."""
+    from yckg_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", score) for i, score in
+         [(0, 10), (1, 5), (2, 9), (3, 9), (5, 1), (6, 1), (7, 3)]],
+        ["doc_id", "text", "quality"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_best(docs, pairs, "quality").collect()
+    )
+    # {1,2,3}: max quality 9 tied between 2 and 3 -> keep 2 (min id).
+    # {5,6}: tied at 1 -> keep 5. 0 and 7 are singletons.
+    assert kept == [0, 2, 5, 7]
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    """Batch rows already in the corpus are dropped; within-batch dupes
+    keep the min id; genuinely new rows pass through with all columns."""
+    from yckg_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),      # dup of corpus 1 after normalization
+            (11, "epsilon zeta"),      # new
+            (12, "epsilon  ZETA"),     # in-batch dup of 11 -> dropped
+            (13, "eta theta"),         # new
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_dedup(batch, corpus).collect()
+    assert sorted(r["doc_id"] for r in out) == [11, 13]
+    assert {r["text"] for r in out} == {"epsilon zeta", "eta theta"}
+
+
 def test_neardup_clusters_reliable_checkpoint_matches_local(spark, tmp_path):
     from yckg_spark.operators.dedup import neardup_clusters
 

@@ -13,6 +13,10 @@ All of these run over a ``documents(doc_id, text, ...)``-shaped table.
   * neardup_clusters / dedup_keep_representatives — connected components
     over the pair graph (min-label propagation + pointer jumping) and
     keep-one-per-component selection
+  * dedup_keep_best      — keep the highest-scoring member per component
+    (quality-aware variant of the min-id representative)
+  * incremental_dedup    — exact-dedup a new ingest batch against an
+    existing corpus (the continuous-crawl shape)
 
 Everything is pure Column expressions (whole-stage codegen); no Python in
 the hot path.
@@ -455,6 +459,66 @@ def neardup_clusters(
         if changed.isEmpty():
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_best(
+    docs: DataFrame, pairs: DataFrame, score_col: str, id_col: str = "doc_id",
+    id_a: str = "id_a", id_b: str = "id_b", checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Keep the highest-scoring member of each near-dup component (ties →
+    smallest id); documents in no pair pass through untouched.
+
+    The min-id policy of ``dedup_keep_representatives`` is arbitrary; a
+    curation pipeline usually wants to keep the *best* duplicate — longest,
+    highest quality score, most recent crawl. ``score_col`` is any numeric
+    column already on ``docs``.
+
+    Distributed shape: components are computed on ids only, then the score
+    is hash-joined onto the membership table — (id, cluster_id, score) is
+    all that ever shuffles, never the text. The per-component argmax is a
+    single ``max_by`` over a (score, -id) struct, so ordering is total and
+    the result deterministic. The final keep is a left-anti join of ``docs``
+    against the loser id set, same as the min-id path.
+    """
+    clusters = neardup_clusters(pairs, id_a, id_b, checkpoint_dir=checkpoint_dir)
+    members = clusters.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")),
+        "doc_id",
+    )
+    keep = members.groupBy("cluster_id").agg(
+        F.max_by("doc_id", F.struct(F.col("_score"), -F.col("doc_id"))).alias("keep_id")
+    )
+    losers = (
+        members.join(keep, "cluster_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+def incremental_dedup(
+    batch: DataFrame, corpus: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup a new ingest batch against an existing corpus: keep the
+    batch rows whose normalized text does not already exist in the corpus,
+    and within the batch keep one row (min id) per distinct text.
+
+    This is the continuous-crawl shape at 100 TB: the corpus is never
+    re-deduped — it reduces to its distinct content hashes (in production
+    you would persist that hash index once and reuse it per batch), the
+    batch anti-joins against them, and only (hash, id) pairs ride any
+    shuffle. The batch text itself is touched exactly once, by the final
+    id semi-join that restores the full rows.
+    """
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    seen = corpus.select(h.alias("text_hash")).distinct()
+    fresh = (
+        batch.select(h.alias("text_hash"), F.col(id_col))
+        .join(seen, "text_hash", "left_anti")
+    )
+    keep = fresh.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    return batch.join(keep.select(id_col), id_col, "left_semi")
 
 
 def dedup_keep_representatives(
