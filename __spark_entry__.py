@@ -504,6 +504,72 @@ SELECT doc_id, {expr('en')}, {expr('de')}, {expr('fr')}, {expr('es')} FROM n
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (deterministic rank: rounded score
+    desc, then term asc)."""
+    from yckg_spark.operators.text_analysis import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+_ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.doc_freq), 6) AS tfidf
+  FROM tf JOIN dfreq d USING (term)
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_lm_doc_score(spark, sf_dir):
+    """CCNet-style unigram-LM quality statistic: train token counts on the
+    even-id half of the corpus, score the odd-id half (so unseen-term
+    smoothing is actually exercised)."""
+    from yckg_spark.operators.text_analysis import lm_score, lm_train_unigram
+
+    d = _t(spark, sf_dir, "documents")
+    counts = lm_train_unigram(d.filter(F.col("doc_id") % 2 == 0))
+    return lm_score(d.filter(F.col("doc_id") % 2 == 1), counts)
+
+
+_ORACLE_LM_SCORE = """
+WITH train_toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE doc_id % 2 = 0
+), counts AS (
+  SELECT term, count(*) AS n FROM train_toks WHERE term <> '' GROUP BY 1
+), norm AS (
+  SELECT sum(n) + count(*) AS denom FROM counts
+), target AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE doc_id % 2 = 1
+), logp AS (
+  SELECT t.doc_id, ln((coalesce(c.n, 0) + 1) / CAST(norm.denom AS DOUBLE)) AS lp
+  FROM target t LEFT JOIN counts c USING (term) CROSS JOIN norm
+  WHERE t.term <> ''
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(lp), 6) AS avg_logprob,
+       round(exp(-avg(lp)), 4) AS ppl
+FROM logp GROUP BY 1
+"""
+
+
 def q_fingerprint_md5(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
@@ -1756,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "lm_doc_score": q_lm_doc_score,
         "lang_scores": q_lang_scores,
         "fingerprint_md5": q_fingerprint_md5,
         "embed_topk": q_embed_topk,
@@ -1816,6 +1884,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "text_quality": _oracle_text_quality(),
         "token_counts": _ORACLE_TOKENS,
+        "tfidf_top_terms": _ORACLE_TFIDF,
+        "lm_doc_score": _ORACLE_LM_SCORE,
         "lang_scores": _oracle_lang_scores(),
         "fingerprint_md5": _ORACLE_FP,
         "embed_topk": _ORACLE_TOPK_EMB,

@@ -48,3 +48,73 @@ def test_quality_then_lang_id_composes(spark):
     assert out["lang_pred"] == "en"
     assert out["n_tokens"] == 15
     assert out["quality"] is not None
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    """4-doc corpus with a hand-computable answer: the corpus-universal
+    term gets idf 0 and never outranks a distinctive term."""
+    import math
+
+    from yckg_spark.operators.text_analysis import tfidf_top_terms
+
+    df = _docs(
+        spark,
+        [
+            (0, "apple apple banana common"),
+            (1, "banana cherry common"),
+            (2, "cherry cherry cherry common"),
+            (3, "date common"),
+        ],
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    # doc 0: apple tf=2 df=1 -> 2*ln(4); banana tf=1 df=2 -> ln(2); common idf=0
+    assert out[(0, 1)] == ("apple", round(2 * math.log(4), 6))
+    assert out[(0, 2)] == ("banana", round(math.log(2), 6))
+    # doc 3: date tf=1 df=1 -> ln(4) beats common (0); rank-2 is common
+    assert out[(3, 1)] == ("date", round(math.log(4), 6))
+    assert out[(3, 2)] == ("common", 0.0)
+    # every doc emits exactly k rows when it has >= k distinct terms
+    assert len(out) == 8
+
+
+def test_tfidf_rank_deterministic_on_ties(spark):
+    """Equal tfidf -> rank by term ascending, stable across runs."""
+    from yckg_spark.operators.text_analysis import tfidf_top_terms
+
+    # zebra and apple both tf=1 df=1 in doc 0 -> tie broken alphabetically
+    df = _docs(spark, [(0, "zebra apple"), (1, "filler words")])
+    rows = {r["rank"]: r["term"]
+            for r in tfidf_top_terms(df, k=2).filter("doc_id = 0").collect()}
+    assert rows == {1: "apple", 2: "zebra"}
+
+
+def test_lm_score_hand_checked(spark):
+    """Add-one smoothed unigram log-probs match a by-hand computation,
+    including an unseen term at scoring time."""
+    import math
+
+    from yckg_spark.operators.text_analysis import lm_score, lm_train_unigram
+
+    train = _docs(spark, [(0, "a a b"), (1, "b c")])
+    counts = lm_train_unigram(train)  # a:2 b:2 c:1, total=5, vocab=3
+    assert {(r["term"], r["n"]) for r in counts.collect()} == {
+        ("a", 2), ("b", 2), ("c", 1)
+    }
+    target = _docs(spark, [(7, "a zzz")])  # zzz unseen -> count 0
+    row = lm_score(target, counts).collect()[0]
+    expect = (math.log(3 / 8) + math.log(1 / 8)) / 2
+    assert row["n_tokens"] == 2
+    assert row["avg_logprob"] == round(expect, 6)
+    assert row["ppl"] == round(math.exp(-expect), 4)
+
+
+def test_lm_score_drops_tokenless_docs(spark):
+    from yckg_spark.operators.text_analysis import lm_score, lm_train_unigram
+
+    train = _docs(spark, [(0, "x y")])
+    target = _docs(spark, [(1, "x"), (2, "   "), (3, "")])
+    out = lm_score(target, lm_train_unigram(train))
+    assert [r["doc_id"] for r in out.collect()] == [1]

@@ -4,7 +4,7 @@ token counting, document fingerprinting. All pure Column expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from yckg_spark.operators.dedup import normalize_text
@@ -114,4 +114,104 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.array_min(
             F.transform(shingles(F.col(text_col), 4), lambda s: F.xxhash64(s))
         ).alias("rolling_min_fp"),
+    )
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) rows — one per token occurrence, empty tokens dropped."""
+    return df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (id, term, tfidf, rank).
+
+    tfidf = tf * ln(n_docs / df) with raw term frequency and unsmoothed idf;
+    rank is deterministic (score desc, then term asc). Documents whose every
+    token is corpus-universal (idf = 0) still emit k rows, ordered by term.
+
+    Distributed shape: the token explode shuffles only (id, term); document
+    frequency is a map-side-partial count over the already-distinct (id,
+    term) pairs; n_docs rides a broadcast one-row cross join so the plan
+    stays lazy; the per-document top-k is a window partitioned by id — no
+    global sort. At web scale the idf table is vocabulary-sized: broadcast
+    it when it fits, else it is an ordinary shuffle join on term (hash the
+    term to 64 bits first if the strings dominate the exchange, as the
+    repetition-signal operator does).
+    """
+    terms = _doc_terms(df, text_col, id_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def lm_train_unigram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train a unigram LM over the corpus: (term, n) token counts.
+
+    One explode + one map-side-partial count — the standard CCNet-style
+    LM-filter training pass. At 100 TB the count table is vocabulary-sized
+    and lives as a persisted artifact reused across scoring batches.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def lm_score(
+    df: DataFrame, counts: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score documents under a unigram LM with add-one smoothing:
+    (id, n_tokens, avg_logprob, ppl).
+
+    p(t) = (count(t) + 1) / (total_tokens + vocab_size); unseen terms get
+    the count-0 mass. avg_logprob is the token-mean natural log-prob and
+    ppl = exp(-avg_logprob) — the CCNet quality-filter statistic (filter
+    docs whose perplexity under a clean-corpus LM is extreme). Documents
+    with zero tokens are dropped (nothing to score).
+
+    Distributed shape: the model rides two broadcasts — the one-row
+    (total, vocab) normalizer and the per-term counts (vocabulary-sized;
+    falls back to a shuffle join on term when it outgrows the broadcast
+    threshold). The scoring pass is explode → join → per-doc mean: the
+    only wide exchange keyed on the document id.
+    """
+    norm = counts.agg(
+        F.sum("n").alias("lm_total"), F.count(F.lit(1)).alias("lm_vocab")
+    )
+    terms = _doc_terms(df, text_col, id_col)
+    logp = F.log(
+        (F.coalesce(F.col("n"), F.lit(0)) + 1)
+        / (F.col("lm_total") + F.col("lm_vocab")).cast("double")
+    )
+    return (
+        terms.join(F.broadcast(counts), "term", "left")
+        .join(F.broadcast(norm))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.avg(logp)), 4).alias("ppl"),
+        )
     )
