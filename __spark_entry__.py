@@ -570,6 +570,61 @@ FROM logp GROUP BY 1
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over a deterministic modular link graph on
+    the document ids (every doc links to (7i+3) mod N and (13i+1) mod N;
+    doc ids are contiguous 0..N-1, so the graph has no dangling nodes and
+    the simplified no-redistribution update is exact). 3 iterations,
+    d=0.85 — replayed in DuckDB as three unrolled CTE steps."""
+    from yckg_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.broadcast(d.select(F.count(F.lit(1)).alias("n")))
+    i = F.col("doc_id")
+    e1 = d.join(n).select(i.alias("src"), ((i * 7 + 3) % F.col("n")).alias("dst"))
+    e2 = d.join(n).select(i.alias("src"), ((i * 13 + 1) % F.col("n")).alias("dst"))
+    edges = e1.union(e2).distinct()
+    out = pagerank(edges, n_iter=3, damping=0.85, redistribute_dangling=False)
+    return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    step = """
+, r{i} AS (
+  SELECT nodes.node,
+         (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nc)
+           + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / o.odeg) AS contrib
+    FROM edges e JOIN r{prev} r ON r.node = e.src JOIN odeg o ON o.node = e.src
+    GROUP BY 1
+  ) c ON c.node = nodes.node
+)"""
+    sql = """
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 1) % (SELECT count(*) FROM documents)
+    FROM documents
+  )
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+), odeg AS (
+  SELECT src AS node, count(*) AS odeg FROM edges GROUP BY 1
+), nc AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nc) AS rank FROM nodes
+)"""
+    for i in range(1, n_iter + 1):
+        sql += step.format(i=i, prev=i - 1)
+    return sql + f"\nSELECT node, round(rank, 9) AS rank FROM r{n_iter}"
+
+
 def q_fingerprint_md5(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
@@ -1824,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
         "lm_doc_score": q_lm_doc_score,
+        "pagerank": q_pagerank,
         "lang_scores": q_lang_scores,
         "fingerprint_md5": q_fingerprint_md5,
         "embed_topk": q_embed_topk,
@@ -1886,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _ORACLE_TOKENS,
         "tfidf_top_terms": _ORACLE_TFIDF,
         "lm_doc_score": _ORACLE_LM_SCORE,
+        "pagerank": _pagerank_oracle_sql(),
         "lang_scores": _oracle_lang_scores(),
         "fingerprint_md5": _ORACLE_FP,
         "embed_topk": _ORACLE_TOPK_EMB,

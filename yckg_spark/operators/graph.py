@@ -1,0 +1,116 @@
+"""Graph analytics over the KG / link graph: fixed-iteration PageRank.
+
+A knowledge graph built from web pages immediately invites link-graph
+analytics — PageRank over the page/host graph is the canonical crawl
+prioritization and quality signal (and, KG-side, a centrality score over
+the entity co-mention graph). This complements ``neardup_clusters``
+(connected components) as the second iterative graph primitive.
+
+Everything is DataFrame joins + aggregations — the GraphX/GraphFrames
+recipe re-expressed on the SQL engine so Catalyst/AQE handle skew and
+partial aggregation. Per iteration: one join (edges ⋈ ranks, keyed on the
+source node) and one map-side-partial sum keyed on the destination node.
+High-in-degree "head" pages are exactly the skewed keys AQE's skew-join
+splitting handles; the rank frame is (node, rank, odeg) — constant width,
+never the page payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_deg, in_deg) over a directed edge list — one pass each
+    side, full outer join so pure sources / pure sinks both appear."""
+    out = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("out_deg"))
+    inn = edges.groupBy(F.col(dst).alias("node")).agg(F.count(F.lit(1)).alias("in_deg"))
+    return (
+        out.join(inn, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    redistribute_dangling: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: (node, rank).
+
+    rank_0(v) = 1/N; each iteration
+        rank(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u)  [+ d * D/N]
+    where D is the total rank mass sitting on dangling nodes (no out-edges)
+    when ``redistribute_dangling`` — with it, Σ rank stays exactly 1; the
+    simplified variant (False) lets dangling mass leak, which is the common
+    large-crawl shortcut and is what the driver oracle replays in SQL.
+
+    Distributed shape: the rank state is a (node, rank, odeg) frame
+    persisted per iteration (the previous iteration is unpersisted once the
+    next materializes); each step is edges ⋈ ranks on the source key
+    followed by a partial-aggregated sum on the destination key — only
+    8-byte ids and doubles ever shuffle. Dangling mass is a one-scalar
+    action per iteration (only when ``redistribute_dangling``), the same
+    driver-side scalar GraphX collects. Lineage is cut every iteration via
+    persist + the per-iteration action; pass ``checkpoint_dir`` for
+    reliable cuts on a real cluster (same contract as
+    ``neardup_clusters`` — CALLERS OWN CLEANUP of that dir).
+
+    N (node count) is collected once up front; nodes are the union of
+    sources and destinations, so isolated pages that appear in no edge are
+    out of scope by construction.
+    """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    odeg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("odeg"))
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+
+    # state: (node, rank, odeg nullable — null marks a dangling node)
+    ranks = _cut(
+        nodes.join(odeg, "node", "left").select(
+            "node", F.lit(1.0 / n).alias("rank"), "odeg"
+        )
+    )
+    for _ in range(n_iter):
+        if redistribute_dangling:
+            dangling = (
+                ranks.filter(F.col("odeg").isNull()).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
+            base = teleport + damping * dangling / n
+        else:
+            base = teleport
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
+        )
+        new_ranks = _cut(
+            ranks.select("node", "odeg")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+                "odeg",
+            )
+        )
+        ranks = new_ranks
+    return ranks.select("node", "rank")
