@@ -570,6 +570,45 @@ FROM logp GROUP BY 1
 """
 
 
+def q_asof_click(spark, sf_dir):
+    """As-of join on the event stream: for every purchase, the latest click
+    by the same user at or before the purchase timestamp (merge-as-of —
+    one shuffle on user_id, no correlated subquery)."""
+    from yckg_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+    )
+
+
+_ORACLE_ASOF_CLICK = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag,
+         CASE WHEN event_type = 'click'
+              THEN {'eid': event_id, 'val': round(value, 6)} END AS rpay
+  FROM events WHERE event_type IN ('purchase', 'click')
+), m AS (
+  SELECT *, last_value(rpay IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, tag, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS match
+  FROM tagged
+)
+SELECT event_id, user_id, ts,
+       match.eid AS asof_event_id, match.val AS asof_value
+FROM m WHERE tag = 1
+"""
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over a deterministic modular link graph on
     the document ids (every doc links to (7i+3) mod N and (13i+1) mod N;
@@ -1880,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "lm_doc_score": q_lm_doc_score,
         "pagerank": q_pagerank,
+        "asof_click": q_asof_click,
         "lang_scores": q_lang_scores,
         "fingerprint_md5": q_fingerprint_md5,
         "embed_topk": q_embed_topk,
@@ -1943,6 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _ORACLE_TFIDF,
         "lm_doc_score": _ORACLE_LM_SCORE,
         "pagerank": _pagerank_oracle_sql(),
+        "asof_click": _ORACLE_ASOF_CLICK,
         "lang_scores": _oracle_lang_scores(),
         "fingerprint_md5": _ORACLE_FP,
         "embed_topk": _ORACLE_TOPK_EMB,

@@ -1,0 +1,89 @@
+"""Unit coverage for the as-of join (also oracle-checked end-to-end via
+__spark_entry__): hand-checked timelines, inclusive-vs-strict at ts
+equality, duplicate-ts tie-breaking, tolerance nulling, and agreement with
+a brute-force correlated-subquery reference on pseudo-random data."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from yckg_spark.operators.temporal import asof_join
+
+
+def _ts(m):
+    return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(5)), (2, "u", _ts(10)), (3, "u", _ts(2)), (4, "v", _ts(7))],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(100, "u", _ts(3), 1.0), (101, "u", _ts(10), 2.0), (102, "w", _ts(1), 9.0)],
+        ["rid", "k", "ts", "val"],
+    )
+    return left, right
+
+
+def test_asof_inclusive_and_no_match(spark):
+    left, right = _frames(spark)
+    out = {r["lid"]: (r["asof_rid"], r["asof_val"])
+           for r in asof_join(left, right, "k", "ts", ["rid", "val"],
+                              tiebreak="rid").collect()}
+    assert out[1] == (100, 1.0)      # ts 5 -> right at ts 3
+    assert out[2] == (101, 2.0)      # equal ts 10 matches inclusively
+    assert out[3] == (None, None)    # earliest right row is ts 3 > 2
+    assert out[4] == (None, None)    # key v has no right rows
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    left, right = _frames(spark)
+    out = {r["lid"]: r["asof_rid"]
+           for r in asof_join(left, right, "k", "ts", ["rid"],
+                              tiebreak="rid", strict=True).collect()}
+    assert out[2] == 100  # equal-ts right row 101 no longer visible
+
+
+def test_asof_duplicate_ts_tiebreak(spark):
+    left = spark.createDataFrame([(1, "u", _ts(9))], ["lid", "k", "ts"])
+    right = spark.createDataFrame(
+        [(200, "u", _ts(4)), (201, "u", _ts(4))], ["rid", "k", "ts"]
+    )
+    row = asof_join(left, right, "k", "ts", ["rid"], tiebreak="rid").collect()[0]
+    assert row["asof_rid"] == 201  # largest tiebreak wins
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    out = {r["lid"]: r["asof_rid"]
+           for r in asof_join(left, right, "k", "ts", ["rid"], tiebreak="rid",
+                              tolerance=F.expr("INTERVAL 1 MINUTE")).collect()}
+    assert out[1] is None            # ts 5 vs match ts 3: 2 min stale
+    assert out[2] == 101             # exact-ts match, 0 stale
+    assert len(out) == 4             # left rows always survive
+
+
+def test_asof_matches_bruteforce_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    left_rows = [(i, f"k{rng.randrange(4)}", _ts(rng.randrange(50))) for i in range(40)]
+    right_rows = [
+        (100 + i, f"k{rng.randrange(4)}", _ts(rng.randrange(50)), float(i))
+        for i in range(30)
+    ]
+    left = spark.createDataFrame(left_rows, ["lid", "k", "ts"])
+    right = spark.createDataFrame(right_rows, ["rid", "k", "ts", "val"])
+
+    def brute(lk, lt):
+        cands = [r for r in right_rows if r[1] == lk and r[2] <= lt]
+        if not cands:
+            return (None, None)
+        best = max(cands, key=lambda r: (r[2], r[0]))
+        return (best[0], best[3])
+
+    got = {r["lid"]: (r["asof_rid"], r["asof_val"])
+           for r in asof_join(left, right, "k", "ts", ["rid", "val"],
+                              tiebreak="rid").collect()}
+    assert got == {lid: brute(k, t) for lid, k, t in left_rows}

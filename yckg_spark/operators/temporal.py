@@ -1,0 +1,90 @@
+"""Temporal operators: as-of join (point-in-time lookup).
+
+The classic event-stream enrichment Spark lacks as a built-in: for each
+left row, attach the latest right row with ``right.ts <= left.ts`` for the
+same key (e.g. "the click that preceded this purchase", "the price in
+effect at trade time"). A correlated max-subquery is quadratic per key;
+this is the merge-as-of recipe instead — union both sides, one window.
+
+Distributed shape: a single shuffle on the key, then a per-key sort and a
+running ``last_value(..., ignorenulls=True)`` — Spark evaluates the
+UNBOUNDED PRECEDING..CURRENT ROW frame incrementally, so state is O(1) per
+partition, never a buffered frame. Only the right side's projected payload
+struct rides along; skewed keys are ordinary AQE territory because the
+window key is the join key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None = None,
+    strict: bool = False,
+    prefix: str = "asof_",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, plus ``prefix + c`` for each
+    ``c`` in ``right_cols`` taken from the matching right row (nulls when
+    no right row precedes).
+
+    * match rule: latest right row with ``right.ts <= left.ts`` (``<``
+      when ``strict``) and equal ``key``
+    * ties among right rows at the same ts: largest ``tiebreak`` wins
+      (pass a unique column for determinism — without one, duplicate
+      (key, ts) right rows make the winner arbitrary)
+    * ``tolerance``: optional max staleness as an INTERVAL column (e.g.
+      ``F.expr("INTERVAL 1 HOUR")``); older matches are nulled out, the
+      left row is kept
+
+    Implementation: union(right tagged 0, left tagged 1) → window per key
+    ordered by (ts, tag, tiebreak) → running last_value of the right
+    payload struct ignoring nulls. Right rows sort before left rows at an
+    equal ts for the inclusive rule and after them for the strict rule, so
+    both variants are the same single pass.
+    """
+    # the matched right ts rides in the payload under a reserved slot so the
+    # tolerance check can compare it against the left ts after the window
+    rpay = F.struct(
+        F.col(ts).alias("_mts"), *[F.col(c).alias(c) for c in right_cols]
+    ).alias("_rpay")
+    tb = F.col(tiebreak) if tiebreak is not None else F.lit(0)
+    r = right.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"),
+        F.lit(0 if not strict else 2).alias("_tag"), tb.alias("_tb"), rpay,
+    )
+    lpay = F.struct(*[F.col(c).alias(c) for c in left.columns]).alias("_lpay")
+    l = left.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"),
+        F.lit(1).alias("_tag"), F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"), lpay,
+    )
+    r = r.withColumn("_lpay", F.lit(None).cast(l.schema["_lpay"].dataType))
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_tag").asc(), F.col("_tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l.unionByName(r)
+        .withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "_match",
+            F.when(F.col("_match")["_mts"] >= F.col("_ts") - tolerance, F.col("_match")),
+        )
+    out_cols = [F.col("_lpay")[c].alias(c) for c in left.columns]
+    out_cols += [F.col("_match")[c].alias(prefix + c) for c in right_cols]
+    return matched.select(*out_cols)
