@@ -273,3 +273,52 @@ def test_url_dedup_single_partial_agg_no_window(spark):
     assert "url_canon" in exchanges[0], plan
     assert "partial_max_by" in plan or "partial" in plan.lower(), plan
     _exchanges_never_carry(plan, "text#")
+
+
+def test_asof_join_is_single_exchange_on_key(spark):
+    """Merge-as-of = one hash exchange on the join key + one sort — no
+    correlated re-scan, no cartesian, no second shuffle."""
+    from datetime import datetime
+
+    from yckg_spark.operators.temporal import asof_join
+
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, "u", t)], ["lid", "k", "ts"])
+    right = spark.createDataFrame([(9, "u", t, 1.0)], ["rid", "k", "ts", "val"])
+    plan = _plan(asof_join(left, right, "k", "ts", ["rid", "val"], tiebreak="rid"))
+    n_exchanges = sum(
+        1 for b in plan.split("\n\n")
+        if b.splitlines() and ") Exchange" in b.splitlines()[0]
+    )
+    assert n_exchanges == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_tfidf_broadcasts_doc_count_and_never_shuffles_text(spark):
+    """n_docs rides a broadcast one-row cross join; every hash exchange
+    carries (id, term)-shaped rows, never the document text."""
+    from yckg_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common text body {i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(tfidf_top_terms(docs, k=2))
+    assert "BroadcastExchange" in plan, plan
+    _exchanges_never_carry(plan, "text#")
+
+
+def test_pagerank_iteration_has_no_cartesian(spark):
+    """Each PageRank step is edges-join-ranks + partial-agg sum — the rank
+    update must stay an equi-join (no nested loop) with partial aggregation
+    visible before the dst exchange."""
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.graph import _pagerank_step
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    ranks = spark.createDataFrame([(1, 1 / 3, 1), (2, 1 / 3, 1), (3, 1 / 3, 1)],
+                                  ["node", "rank", "odeg"])
+    plan = _plan(_pagerank_step(edges, ranks, 0.85, 0.05))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan

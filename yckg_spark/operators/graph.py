@@ -98,19 +98,27 @@ def pagerank(
             base = teleport + damping * dangling / n
         else:
             base = teleport
-        contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
-        )
-        new_ranks = _cut(
-            ranks.select("node", "odeg")
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + damping * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
-                "odeg",
-            )
-        )
-        ranks = new_ranks
+        ranks = _cut(_pagerank_step(e, ranks, damping, base))
     return ranks.select("node", "rank")
+
+
+def _pagerank_step(
+    e: DataFrame, ranks: DataFrame, damping: float, base: float
+) -> DataFrame:
+    """One rank update: edges ⋈ ranks on src, partial-agg sum on dst, left
+    join back onto the node set. Factored out so the physical plan of a
+    step is auditable (the loop hides it behind the lineage cut)."""
+    contribs = (
+        e.join(ranks, e["src"] == ranks["node"])
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
+    )
+    return (
+        ranks.select("node", "odeg")
+        .join(contribs, "node", "left")
+        .select(
+            "node",
+            (F.lit(base) + damping * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+            "odeg",
+        )
+    )
