@@ -609,6 +609,34 @@ FROM m WHERE tag = 1
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-min gap): lag +
+    running sum of break flags in one window — single shuffle on user_id."""
+    from yckg_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+
+
+_ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id, user_id, ts,
+       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+       user_id || ':' || CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+         AS session_id
+FROM flagged
+"""
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over a deterministic modular link graph on
     the document ids (every doc links to (7i+3) mod N and (13i+1) mod N;
@@ -1920,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_score": q_lm_doc_score,
         "pagerank": q_pagerank,
         "asof_click": q_asof_click,
+        "sessionize": q_sessionize,
         "lang_scores": q_lang_scores,
         "fingerprint_md5": q_fingerprint_md5,
         "embed_topk": q_embed_topk,
@@ -1984,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_doc_score": _ORACLE_LM_SCORE,
         "pagerank": _pagerank_oracle_sql(),
         "asof_click": _ORACLE_ASOF_CLICK,
+        "sessionize": _ORACLE_SESSIONIZE,
         "lang_scores": _oracle_lang_scores(),
         "fingerprint_md5": _ORACLE_FP,
         "embed_topk": _ORACLE_TOPK_EMB,

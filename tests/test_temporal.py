@@ -87,3 +87,36 @@ def test_asof_matches_bruteforce_reference(spark):
            for r in asof_join(left, right, "k", "ts", ["rid", "val"],
                               tiebreak="rid").collect()}
     assert got == {lid: brute(k, t) for lid, k, t in left_rows}
+
+
+def test_sessionize_gap_boundaries(spark):
+    """New session strictly after the gap; equal gap stays in-session;
+    per-key numbering is independent and 1-based."""
+    from yckg_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, "u", _ts(0)), (2, "u", _ts(10)),   # 10 min <= 30 -> same session
+        (3, "u", _ts(40)), (4, "u", _ts(70)),  # exactly 30 min -> same session
+        (5, "u", _ts(101)),                    # 31 min -> break
+        (6, "v", _ts(500)),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "k", "ts"])
+    out = {r["event_id"]: (r["session_seq"], r["session_id"])
+           for r in sessionize(ev, key="k", gap_seconds=1800).collect()}
+    assert out[1] == (1, "u:1") and out[2] == (1, "u:1")
+    assert out[3] == (1, "u:1")              # exactly-1800s gap is NOT a break
+    assert out[4] == (1, "u:1")
+    assert out[5] == (2, "u:2")              # 31 min > 30 -> new session
+    assert out[6] == (1, "v:1")
+
+
+def test_sessionize_equal_ts_share_a_session(spark):
+    from yckg_spark.operators.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, "u", _ts(0)), (2, "u", _ts(0)), (3, "u", _ts(90))],
+        ["event_id", "k", "ts"],
+    )
+    out = {r["event_id"]: r["session_seq"]
+           for r in sessionize(ev, key="k", gap_seconds=1800).collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 2

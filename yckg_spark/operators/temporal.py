@@ -88,3 +88,39 @@ def asof_join(
     out_cols = [F.col("_lpay")[c].alias(c) for c in left.columns]
     out_cols += [F.col("_match")[c].alias(prefix + c) for c in right_cols]
     return matched.select(*out_cols)
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: every event row plus ``session_seq`` (the
+    per-key session ordinal, 1-based) and ``session_id``
+    (``"<key>:<seq>"``) — a new session starts when the time since the
+    previous event of the same key exceeds ``gap_seconds``.
+
+    The batch analogue of the streaming session window: lag + running sum
+    of session-break flags inside one window partitioned by the key — a
+    single shuffle, O(1) running state per partition, no self-join. Ties
+    on ts are ordered by the remaining columns' natural input order being
+    irrelevant: the break flag only depends on the ts delta, so equal-ts
+    events always land in the same session regardless of their relative
+    order.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    prev = F.lag(ts).over(w)
+    # interval comparison, not epoch casts: exact to the microsecond, works
+    # on TIMESTAMP and TIMESTAMP_NTZ alike, and immune to the truncation
+    # semantics a seconds cast would impose on sub-second timestamps
+    is_break = (
+        prev.isNull()
+        | ((F.col(ts) - prev) > F.make_dt_interval(secs=F.lit(gap_seconds)))
+    ).cast("long")
+    run = Window.partitionBy(key).orderBy(F.col(ts).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_seq", F.sum(is_break).over(run)).withColumn(
+        "session_id", F.concat_ws(":", F.col(key).cast("string"), F.col("session_seq"))
+    )
