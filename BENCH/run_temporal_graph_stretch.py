@@ -1,0 +1,277 @@
+"""Temporal/graph/text-stats stretch: as-of join, sessionization, PageRank,
+TF-IDF, and LM scoring at ~100x the correctness-test scale, with known
+answers. Same methodology as run_curation_stretch.py: synthesize the large
+input deterministically (no external data) so every check is exact.
+
+  * sessionize, 5M events (50k users x 100): per user, events arrive in
+    bursts of 5 ten minutes apart, bursts a day apart -> EVERY user has
+    exactly 20 sessions of exactly 5 events;
+  * asof_join, 5M events: per user, minute-spaced alternating click /
+    purchase; the as-of click for every purchase is exactly the previous
+    event id (and the first purchase of each user matches nothing) ->
+    n_null == n_users and every matched id-delta == 1;
+  * pagerank: (a) 2M-node ring (i -> i+1 mod N) — the rank vector is
+    EXACTLY uniform, max-min must be < 1e-12; (b) 2M-node double modular
+    graph (7i+3, 13i+1) for the skewed timing run — no dangling nodes, so
+    total mass must stay 1 within 1e-6 even without redistribution;
+  * tfidf_top_terms, 500k docs (100 identical replicas per sf0.1 doc with
+    distinct ids): n_docs and every doc_freq scale by exactly 100, so idf —
+    and therefore every (term, tfidf, rank) row — is invariant: the
+    distinct per-base-doc result set must equal the base result exactly;
+  * lm_score, 500k docs: replicas of the same base doc must all get the
+    same (n_tokens, avg_logprob, ppl) — one distinct stat triple per base
+    doc.
+
+Writes BENCH/temporal_graph_stretch.json.
+
+Usage: python BENCH/run_temporal_graph_stretch.py [--users 50000] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("YCKG_LOCAL_DIR", "/dev/shm/spark-local")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+WORK = "/dev/shm/yckg-temporal-stretch"
+EVENTS_PER_USER = 100  # bursts of 5, 10 min apart in-burst, 1 day between
+
+
+def timed(samples: dict, name: str, fn, reps: int):
+    result = None
+    for _ in range(reps):
+        t0 = time.time()
+        result = fn()
+        samples.setdefault(name, []).append(round(time.time() - t0, 3))
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=50_000)
+    ap.add_argument("--nodes", type=int, default=2_000_000)
+    ap.add_argument("--replicas", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from yckg_spark.operators.graph import pagerank
+    from yckg_spark.operators.temporal import asof_join, sessionize
+    from yckg_spark.operators.text_analysis import (
+        lm_score,
+        lm_train_unigram,
+        tfidf_top_terms,
+    )
+    from yckg_spark.session import get_spark
+
+    spark = get_spark(
+        "yckg-temporal-stretch", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+    checks: dict[str, bool] = {}
+    samples: dict[str, list[float]] = {}
+    out: dict = {
+        "users": args.users, "events": args.users * EVENTS_PER_USER,
+        "nodes": args.nodes, "replicas": args.replicas, "cpus": int(CPUS),
+    }
+
+    # ---- synthesize the event stream (many splits, like a real ingest)
+    t0 = time.time()
+    j = F.col("j")
+    ev = (
+        spark.range(args.users).withColumnRenamed("id", "user_id")
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(EVENTS_PER_USER - 1))).alias("j"))
+        .select(
+            (F.col("user_id") * EVENTS_PER_USER + j).alias("event_id"),
+            "user_id", "j",
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_dt_interval(
+                    days=(j / 5).cast("int"),
+                    secs=((j % 5) * 600).cast("double"),
+                )
+            ).alias("ts"),
+            F.when(j % 2 == 0, F.lit("purchase")).otherwise(F.lit("click")).alias("event_type"),
+        )
+    )
+    ev.repartition(int(CPUS)).write.parquet(f"{WORK}/events")
+    events = spark.read.parquet(f"{WORK}/events")
+    n_events = events.count()
+    out["synth_events_s"] = round(time.time() - t0, 3)
+
+    # ---- sessionize: exactly 20 sessions of 5 per user
+    sess = timed(
+        samples, "sessionize",
+        lambda: sessionize(events, key="user_id", ts="ts", gap_seconds=1800)
+        .groupBy("session_id").agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.min("n").alias("min_n"), F.max("n").alias("max_n"),
+        ).collect()[0],
+        args.reps,
+    )
+    checks["sessionize_20x5_per_user"] = (
+        sess["n_sessions"] == args.users * (EVENTS_PER_USER // 5)
+        and sess["min_n"] == 5 and sess["max_n"] == 5
+    )
+
+    # ---- as-of join: previous-event identity
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    asof = timed(
+        samples, "asof_join",
+        lambda: asof_join(
+            purchases, clicks, key="user_id", ts="ts",
+            right_cols=["event_id"], tiebreak="event_id",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("asof_event_id").isNull(), 1).otherwise(0)).alias("n_null"),
+            F.sum(
+                F.when(
+                    F.col("asof_event_id").isNotNull(),
+                    F.col("event_id") - F.col("asof_event_id"),
+                )
+            ).alias("delta_sum"),
+        ).collect()[0],
+        args.reps,
+    )
+    n_purch = args.users * (EVENTS_PER_USER // 2)
+    checks["asof_prev_event_identity"] = (
+        asof["n"] == n_purch
+        and asof["n_null"] == args.users
+        and asof["delta_sum"] == (n_purch - args.users)
+    )
+
+    # ---- pagerank (a): ring -> exactly uniform ranks
+    ring = spark.range(args.nodes).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % args.nodes).alias("dst")
+    )
+    pr_ring = timed(
+        samples, "pagerank_ring_3iter",
+        lambda: pagerank(ring, n_iter=3, redistribute_dangling=False)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rank").alias("mn"), F.max("rank").alias("mx"),
+        ).collect()[0],
+        args.reps,
+    )
+    checks["pagerank_ring_uniform"] = (
+        pr_ring["n"] == args.nodes and (pr_ring["mx"] - pr_ring["mn"]) < 1e-12
+    )
+
+    # ---- pagerank (b): skewed modular graph, mass conservation
+    base_ids = spark.range(args.nodes)
+    mod_edges = base_ids.select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % args.nodes).alias("dst")
+    ).union(
+        base_ids.select(
+            F.col("id").alias("src"), ((F.col("id") * 13 + 1) % args.nodes).alias("dst")
+        )
+    ).distinct()
+    pr_mod = timed(
+        samples, "pagerank_modular_3iter",
+        lambda: pagerank(mod_edges, n_iter=3, redistribute_dangling=False)
+        .agg(F.sum("rank").alias("mass"), F.count(F.lit(1)).alias("n")).collect()[0],
+        args.reps,
+    )
+    checks["pagerank_modular_mass_conserved"] = (
+        pr_mod["n"] == args.nodes and abs(pr_mod["mass"] - 1.0) < 1e-6
+    )
+
+    # ---- replicate sf0.1 documents 100x for tfidf / lm invariants
+    t0 = time.time()
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n_base = base.count()
+    rep = F.explode(F.sequence(F.lit(0), F.lit(args.replicas - 1))).alias("rep")
+    big = base.select("*", rep).withColumn(
+        "doc_id", F.col("doc_id") * args.replicas + F.col("rep")
+    ).drop("rep")
+    big.repartition(int(CPUS)).write.parquet(f"{WORK}/docs")
+    docs = spark.read.parquet(f"{WORK}/docs")
+    n_docs = docs.count()
+    out["synth_docs_s"] = round(time.time() - t0, 3)
+
+    # tfidf: distinct per-base-doc rows == exact base result
+    base_rows = tfidf_top_terms(base, k=3)
+    def tfidf_stretched():
+        return (
+            tfidf_top_terms(docs, k=3)
+            .select(
+                (F.col("doc_id") / args.replicas).cast("bigint").alias("doc_id"),
+                "term", "tfidf", "rank",
+            ).distinct()
+        )
+
+    timed(samples, "tfidf_top3", lambda: tfidf_stretched().count(), args.reps)
+    stretched = tfidf_stretched()
+    diff = (
+        stretched.exceptAll(base_rows).count() + base_rows.exceptAll(stretched).count()
+    )
+    checks["tfidf_idf_invariant_under_replication"] = diff == 0
+
+    # lm: one distinct stat triple per base doc
+    counts = lm_train_unigram(docs)
+    lm_stats = timed(
+        samples, "lm_train_and_score",
+        lambda: lm_score(docs, counts)
+        .select(
+            (F.col("doc_id") / args.replicas).cast("bigint").alias("base_id"),
+            "n_tokens", "avg_logprob", "ppl",
+        ).distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.countDistinct("base_id").alias("n_base"),
+        ).collect()[0],
+        args.reps,
+    )
+    checks["lm_replica_consistent"] = (
+        lm_stats["n_distinct"] == n_base and lm_stats["n_base"] == n_base
+    )
+
+    mins = {k: min(v) for k, v in samples.items()}
+    out.update(
+        {
+            "n_events": n_events,
+            "n_docs": n_docs,
+            "n_base_docs": n_base,
+            "seconds_min": mins,
+            "seconds_all": samples,
+            "events_per_s": {
+                k: round(n_events / mins[k]) for k in ("sessionize", "asof_join")
+            },
+            "edges_per_s_modular": round(
+                mod_edges.count() / mins["pagerank_modular_3iter"]
+            ),
+            "docs_per_s": {
+                k: round(n_docs / mins[k]) for k in ("tfidf_top3", "lm_train_and_score")
+            },
+            "checks": checks,
+            "all_checks_pass": all(checks.values()),
+        }
+    )
+    (REPO / "BENCH" / "temporal_graph_stretch.json").write_text(
+        json.dumps(out, indent=2)
+    )
+    print(json.dumps(out))
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
