@@ -376,3 +376,51 @@ def test_cli_curate_dedup_lines_and_urls(spark, tmp_path, capsys):
     assert set(kept) == {2, 3, 4}  # url loser (doc 1) gone
     assert kept[2]["text"] == "real content one here"
     assert kept[4]["text"] == "real content three here"
+
+
+def test_cli_dedup_incremental_against_corpus(spark, tmp_path, capsys):
+    """--against CORPUS switches dedup into incremental mode: batch rows
+    whose normalized text already exists in the corpus are dropped,
+    in-batch dupes keep the min id, and the report names the mode."""
+    corpus, batch, out = (str(tmp_path / p) for p in ("corpus", "batch", "kept"))
+    _write_docs(spark, corpus, [(1, "alpha beta"), (2, "gamma delta")])
+    _write_docs(
+        spark,
+        batch,
+        [
+            (10, "ALPHA   beta"),   # dup of corpus 1 after normalization
+            (11, "epsilon zeta"),   # new
+            (12, "epsilon  ZETA"),  # in-batch dup of 11
+            (13, "eta theta"),      # new
+        ],
+    )
+    assert main(["dedup", "--input", batch, "--output", out,
+                 "--against", corpus]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["method"] == "incremental" and rep["against"] == corpus
+    assert rep["docs_in"] == 4 and rep["docs_kept"] == 2
+    kept = spark.read.parquet(out)
+    assert kept.columns == spark.read.parquet(batch).columns
+    assert {r["doc_id"] for r in kept.collect()} == {11, 13}
+
+
+def test_cli_dedup_keep_best_by_score_column(spark, tmp_path, capsys):
+    """--keep-best SCORE_COL keeps the max-score member per near-dup
+    component instead of the min id."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "kept")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, 1.0),
+        (2, base + " extra", 9.0),  # near-dup of 1, higher quality
+        (3, "completely different words about spark dataframes here", 5.0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, quality double"
+    ).write.mode("overwrite").parquet(inp)
+    assert main(["dedup", "--input", inp, "--output", out,
+                 "--method", "simhash", "--max-hamming", "3",
+                 "--keep-best", "quality"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["keep"] == "best:quality" and rep["neardup_pairs"] >= 1
+    # min-id policy would keep doc 1; keep-best must keep the 9.0-quality 2
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {2, 3}

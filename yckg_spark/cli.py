@@ -192,8 +192,10 @@ def cmd_dedup(args) -> int:
     from pyspark.sql import functions as F
 
     from yckg_spark.operators.dedup import (
+        dedup_keep_best,
         dedup_keep_representatives,
         exact_dedup,
+        incremental_dedup,
         minhash_lsh_pairs,
         simhash_pairs,
     )
@@ -202,7 +204,16 @@ def cmd_dedup(args) -> int:
     docs = spark.read.parquet(args.input)
     t0 = time.time()
     persisted: list = []
-    if args.method == "exact":
+    if args.against is not None:
+        # incremental mode (continuous crawl): exact-dedup the batch
+        # against the existing corpus — the corpus reduces to distinct
+        # content hashes, the batch anti-joins, min-id within the batch
+        corpus = spark.read.parquet(args.against)
+        kept = incremental_dedup(
+            docs, corpus, text_col=args.text_col, id_col=args.id_col
+        )
+        n_pairs = None
+    elif args.method == "exact":
         # same output contract as minhash/simhash: document rows, one
         # representative per identical-text group (semi-join on keep ids —
         # the big table is never shuffled on text)
@@ -224,9 +235,15 @@ def cmd_dedup(args) -> int:
             )
         pairs = pairs.select("id_a", "id_b").persist()
         n_pairs = pairs.count()
-        kept = dedup_keep_representatives(
-            docs, pairs, id_col=args.id_col, checkpoint_dir=args.checkpoint_dir
-        )
+        if args.keep_best is not None:
+            kept = dedup_keep_best(
+                docs, pairs, args.keep_best, id_col=args.id_col,
+                checkpoint_dir=args.checkpoint_dir,
+            )
+        else:
+            kept = dedup_keep_representatives(
+                docs, pairs, id_col=args.id_col, checkpoint_dir=args.checkpoint_dir
+            )
     # output count rides the write job as an Observation (materialize.py
     # discipline) — the written store is never re-read; input count is a
     # parquet metadata-only count(*)
@@ -248,8 +265,12 @@ def cmd_dedup(args) -> int:
         fs_delete(spark, args.checkpoint_dir, recursive=True)
     n_in = docs.count()
     print(json.dumps({
-        "method": args.method, "docs_in": n_in, "docs_kept": n_out,
+        "method": "incremental" if args.against is not None else args.method,
+        "docs_in": n_in, "docs_kept": n_out,
         "removed": n_in - n_out, "neardup_pairs": n_pairs,
+        "against": args.against,
+        "keep": (f"best:{args.keep_best}" if args.keep_best is not None
+                 and args.against is None and args.method != "exact" else "min_id"),
         "seconds": round(time.time() - t0, 3), "output": args.output,
     }))
     return 0
@@ -625,6 +646,15 @@ def make_parser() -> argparse.ArgumentParser:
     dd.add_argument("--checkpoint-dir", default=None,
                     help="reliable checkpoint dir for the components loop "
                          "(survives executor loss; default: localCheckpoint)")
+    dd.add_argument("--against", default=None, metavar="CORPUS",
+                    help="incremental mode: exact-dedup the input batch "
+                         "against this existing corpus parquet (overrides "
+                         "--method; batch rows whose normalized text exists "
+                         "in the corpus are dropped, min-id within batch)")
+    dd.add_argument("--keep-best", default=None, metavar="SCORE_COL",
+                    help="minhash/simhash: keep the max-SCORE_COL member "
+                         "per near-dup component (ties -> min id) instead "
+                         "of the min-id representative")
     dd.set_defaults(fn=cmd_dedup)
 
     cu = sub.add_parser("curate", help="quality/repetition filter + decontaminate + PII scrub")
