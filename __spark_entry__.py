@@ -1799,6 +1799,93 @@ FROM kept
 """
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Span-level exact-duplication stats (Lee et al. substring-dedup
+    signal): per doc, the count and fraction of word 8-grams that appear
+    verbatim in >= 2 distinct documents. The synthetic word-soup corpus
+    has ~1k genuinely shared 8-gram classes at sf0.01, so both the dup
+    and clean branches fire through both engines."""
+    from yckg_spark.operators.curation import dup_span_stats
+
+    out = dup_span_stats(_t(spark, sf_dir, "documents"), k=8, min_docs=2)
+    return out.select(
+        "doc_id", "n_grams", "n_dup_grams",
+        F.round("dup_span_frac", 6).alias("dup_span_frac"),
+    )
+
+
+_ORACLE_DUP_SPAN = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+), freq AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), stats AS (
+  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(coalesce(SUM(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_grams
+  FROM grams gr LEFT JOIN freq f USING (g)
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.n_dup_grams, 0) AS n_dup_grams,
+       CASE WHEN coalesce(s.n_grams, 0) > 0
+            THEN ROUND(CAST(s.n_dup_grams AS DOUBLE) / s.n_grams, 6)
+            ELSE 0.0 END AS dup_span_frac
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Fixed-window training chunking: 20-token windows sliding by 16
+    (overlap 4) over each document's whitespace tokens — one row per
+    chunk, short docs yield one short chunk."""
+    from yckg_spark.operators.selection import chunk_docs
+
+    return chunk_docs(_t(spark, sf_dir, "documents"), 20, overlap=4)
+
+
+_ORACLE_CHUNK_DOCS = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s // 16 AS BIGINT) AS chunk_id,
+       CAST(least(20, len(t) - s) AS BIGINT) AS n_tokens,
+       array_to_string(t[s + 1:s + 20], ' ') AS chunk_text
+FROM toks, unnest(generate_series(0, greatest(len(t) - 1, 0), 16)) AS u(s)
+"""
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide heavy hitters: top-20 word bigrams by occurrence count
+    (ties by gram ascending), singleton tail pruned by min_count=2; plans
+    as TakeOrderedAndProject, not a global sort."""
+    from yckg_spark.operators.text_analysis import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+_ORACLE_TOP_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT array_to_string(t[i:i+1], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY gram HAVING count(*) >= 2
+ORDER BY n_occurrences DESC, gram LIMIT 20
+"""
+
+
 def _messy_url() -> Column:
     """Deterministic messy-URL synthesis exercising every canonicalization
     rule: scheme/host case, default :80/:443 ports, tracking params, shuffled
@@ -1980,6 +2067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "line_filter": q_line_filter,
         "line_dedup": q_line_dedup,
+        "dup_span_stats": q_dup_span_stats,
+        "chunk_docs": q_chunk_docs,
+        "top_ngrams": q_top_ngrams,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "kg_build": q_kg_build,
@@ -2036,6 +2126,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_shards": _ORACLE_PACK_SHARDS,
         "line_filter": _ORACLE_LINE_FILTER,
         "line_dedup": _ORACLE_LINE_DEDUP,
+        "dup_span_stats": _ORACLE_DUP_SPAN,
+        "chunk_docs": _ORACLE_CHUNK_DOCS,
+        "top_ngrams": _ORACLE_TOP_NGRAMS,
         "url_canonicalize": _oracle_url_canonicalize(),
         "url_dedup": _oracle_url_dedup(),
         "geocode_join": _ORACLE_GEOCODE,

@@ -424,3 +424,22 @@ def test_cli_dedup_keep_best_by_score_column(spark, tmp_path, capsys):
     assert rep["keep"] == "best:quality" and rep["neardup_pairs"] >= 1
     # min-id policy would keep doc 1; keep-best must keep the 9.0-quality 2
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {2, 3}
+
+
+def test_cli_curate_max_dup_span_frac(spark, tmp_path, capsys):
+    """--max-dup-span-frac drops docs dominated by spans shared verbatim
+    with other documents (both twins — the signal flags every carrier),
+    while unique docs survive."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "cur")
+    shared = "one two three four five six seven eight nine ten"
+    _write_docs(spark, inp, [
+        (1, shared + " tail a"),
+        (2, shared + " tail b"),
+        (3, "entirely different words with no overlap at all here today"),
+    ])
+    assert main(["curate", "--input", inp, "--output", out,
+                 "--max-dup-span-frac", "0.5", "--span-k", "3"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["max_dup_span_frac"] == 0.5
+    assert rep["docs_in"] == 3 and rep["docs_kept"] == 1
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {3}

@@ -178,3 +178,60 @@ def test_line_dedup_shuffle_join_path_matches_broadcast(spark):
     a = sorted(line_dedup(df, broadcast_freq=True).collect())
     b = sorted(line_dedup(df, broadcast_freq=False).collect())
     assert a == b
+
+
+def test_dup_span_stats_known_values(spark):
+    """Hand-computed 3-gram span stats: the shared sentence's grams are
+    dup in both carriers, the unique tails are not, and a short doc
+    scores zero over zero grams."""
+    from yckg_spark.operators.curation import dup_span_stats
+
+    shared = "the quick brown fox"
+    df = _docs(spark, [
+        shared + " went home today",        # 0: 7 toks -> 5 grams
+        shared + " ate something else",     # 1: 7 toks -> 5 grams
+        "completely different text here",   # 2: 4 toks -> 2 grams, unique
+        "too short",                        # 3: 2 toks -> 0 grams
+    ])
+    rows = {r["doc_id"]: r for r in dup_span_stats(df, k=3).collect()}
+    assert len(rows) == 4
+    # grams of doc 0: [the quick brown, quick brown fox, brown fox went,
+    # fox went home, went home today] — first two shared with doc 1
+    assert rows[0]["n_grams"] == 5 and rows[0]["n_dup_grams"] == 2
+    assert rows[0]["dup_span_frac"] == pytest.approx(0.4)
+    assert rows[1]["n_grams"] == 5 and rows[1]["n_dup_grams"] == 2
+    assert rows[2]["n_grams"] == 2 and rows[2]["n_dup_grams"] == 0
+    assert rows[3]["n_grams"] == 0 and rows[3]["n_dup_grams"] == 0
+    assert rows[3]["dup_span_frac"] == 0.0
+
+
+def test_dup_span_stats_counts_positions_not_classes(spark):
+    """A frequent gram repeated within one doc counts every position, and
+    within-doc-only repetition is NOT cross-document duplication."""
+    from yckg_spark.operators.curation import dup_span_stats
+
+    df = _docs(spark, [
+        "a b c a b c",   # 0: grams [a b c, b c a, c a b, a b c]
+        "x a b c y",     # 1: carries "a b c" too -> cross-doc dup
+        "q q q q q",     # 2: "q q q" x3 within one doc only
+    ])
+    rows = {r["doc_id"]: r for r in dup_span_stats(df, k=3).collect()}
+    # both "a b c" positions in doc 0 are flagged
+    assert rows[0]["n_grams"] == 4 and rows[0]["n_dup_grams"] == 2
+    assert rows[1]["n_dup_grams"] == 1
+    # min_docs counts distinct docs: doc 2's repeats stay unflagged
+    assert rows[2]["n_grams"] == 3 and rows[2]["n_dup_grams"] == 0
+
+
+def test_dup_span_stats_broadcast_flag_equivalent(spark):
+    from yckg_spark.operators.curation import dup_span_stats
+
+    df = _docs(spark, [
+        "one two three four five six", "zero two three four five seven",
+        "unrelated words entirely here now",
+    ])
+    a = {(r["doc_id"], r["n_grams"], r["n_dup_grams"])
+         for r in dup_span_stats(df, k=4, broadcast_freq=True).collect()}
+    b = {(r["doc_id"], r["n_grams"], r["n_dup_grams"])
+         for r in dup_span_stats(df, k=4, broadcast_freq=False).collect()}
+    assert a == b

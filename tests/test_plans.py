@@ -322,3 +322,58 @@ def test_pagerank_iteration_has_no_cartesian(spark):
     plan = _plan(_pagerank_step(edges, ranks, 0.85, 0.05))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "partial_sum" in plan or "HashAggregate" in plan, plan
+
+
+def test_dup_span_stats_counting_exchange_is_hashes_only(spark):
+    """Span stats mirror line_dedup's three-exchange shape: frequency
+    counting partitions on the 64-bit gram hash carrying (gh, id) only —
+    never the gram string or document text; the candidate/frequent sets
+    arrive via BroadcastHashJoin."""
+    from yckg_spark.operators.curation import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over lazy dog %d" % i)
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(dup_span_stats(docs, k=3))
+    assert "BroadcastHashJoin" in plan, plan
+    gh_exchanges = 0
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        args = next((ln for ln in lines if ln.startswith("Arguments")), "")
+        if "gh#" not in args:
+            continue
+        gh_exchanges += 1
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        assert "g#" not in inp.replace("gh#", "") and "text#" not in inp, block
+    assert gh_exchanges >= 1, plan
+
+
+def test_chunk_docs_is_shuffle_free(spark):
+    """Chunking is a narrow sequence -> posexplode -> slice — zero
+    exchanges; parallelism comes from the scan partitioning."""
+    from yckg_spark.operators.selection import chunk_docs
+
+    docs = spark.createDataFrame(
+        [(1, "some words " * 30)], ["doc_id", "text"]
+    )
+    plan = _plan(chunk_docs(docs, 16, overlap=2))
+    assert ") Exchange" not in plan, plan
+
+
+def test_top_ngrams_plans_heap_topk_not_global_sort(spark):
+    """The top-k must plan as TakeOrderedAndProject (per-partition k-row
+    heaps merged on the driver), never a global Sort + rangepartitioning
+    exchange; the only wide exchange is the count's hash repartition."""
+    from yckg_spark.operators.text_analysis import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta %d" % i) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(top_ngrams(docs, n=2, k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan

@@ -157,3 +157,46 @@ def test_line_filter_all_dropped_and_empty(spark):
     df = spark.createDataFrame([(1, "no\nway"), (2, "")], "doc_id long, text string")
     got = {r.doc_id: (r.n_lines, r.n_kept, r.text_clean) for r in line_filter(df).collect()}
     assert got == {1: (2, 0, ""), 2: (1, 0, "")}
+
+
+def test_chunk_docs_windows_and_overlap(spark):
+    """10 tokens, chunk 4, overlap 1 (step 3): starts 0,3,6,9 — last
+    chunk is the 1-token remainder; every token appears; consecutive
+    chunks share exactly one token."""
+    from yckg_spark.operators.selection import chunk_docs
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    rows = sorted(chunk_docs(df, 4, overlap=1).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+    ]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_chunk_docs_short_doc_and_validation(spark):
+    import pytest
+
+    from yckg_spark.operators.selection import chunk_docs
+
+    df = spark.createDataFrame([(1, "just two")], "doc_id long, text string")
+    rows = chunk_docs(df, 8, overlap=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "just two" and rows[0]["n_tokens"] == 2
+    with pytest.raises(ValueError):
+        chunk_docs(df, 4, overlap=4)
+
+
+def test_chunk_docs_no_overlap_partitions_exactly(spark):
+    """overlap=0 tiles the doc: concatenating chunks reconstructs the
+    normalized text and token counts sum to the doc length."""
+    from yckg_spark.operators.selection import chunk_docs
+
+    text = " ".join(f"w{i}" for i in range(11))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = sorted(chunk_docs(df, 4).collect(), key=lambda r: r["chunk_id"])
+    assert " ".join(r["chunk_text"] for r in rows) == text
+    assert sum(r["n_tokens"] for r in rows) == 11

@@ -118,3 +118,21 @@ def test_lm_score_drops_tokenless_docs(spark):
     target = _docs(spark, [(1, "x"), (2, "   "), (3, "")])
     out = lm_score(target, lm_train_unigram(train))
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_top_ngrams_counts_and_ordering(spark):
+    """Occurrence-counted (not doc-counted), min_count pruned, ties by
+    gram ascending, k-capped."""
+    from yckg_spark.operators.text_analysis import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(df, n=2, k=10).collect()
+    # "a b": 3x in doc1 + 1x in doc2 = 4; "b a": 2x; everything else 1x
+    assert [(r["gram"], r["n_occurrences"]) for r in rows] == [
+        ("a b", 4), ("b a", 2),
+    ]
+    capped = top_ngrams(df, n=2, k=1, min_count=1).collect()
+    assert len(capped) == 1 and capped[0]["gram"] == "a b"

@@ -287,6 +287,7 @@ def cmd_curate(args) -> int:
 
     from yckg_spark.operators.curation import (
         decontaminate,
+        dup_span_stats,
         line_dedup,
         pii_scrub,
         repetition_signals,
@@ -339,6 +340,18 @@ def cmd_curate(args) -> int:
         & (F.col("top2gram_frac") <= args.max_top2gram_frac)
     )
 
+    if args.max_dup_span_frac is not None:
+        # span-level duplication is computed against the FULL (url/line-
+        # deduped) corpus, not the quality-filtered survivors — a copied
+        # paragraph in a dropped doc still marks its twin in a kept one
+        spans = dup_span_stats(
+            docs, k=args.span_k, text_col=text_col, id_col=id_col
+        ).select(id_col, "dup_span_frac")
+        cur = cur.join(spans, on=id_col, how="left").filter(
+            F.coalesce(F.col("dup_span_frac"), F.lit(0.0))
+            <= args.max_dup_span_frac
+        )
+
     n_contaminated = None
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
@@ -372,6 +385,8 @@ def cmd_curate(args) -> int:
     }
     if n_urls_unique is not None:
         out["n_urls_unique"] = n_urls_unique
+    if args.max_dup_span_frac is not None:
+        out["max_dup_span_frac"] = args.max_dup_span_frac
     if lines_in is not None:
         out["lines_in"] = lines_in
         out["lines_kept"] = lines_kept
@@ -673,6 +688,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="decontamination n-gram width")
     cu.add_argument("--scrub-pii", action="store_true",
                     help="redact emails/IPs/phones in the output text")
+    cu.add_argument("--max-dup-span-frac", type=float, default=None,
+                    help="drop docs whose fraction of word --span-k-grams "
+                         "shared verbatim with other documents exceeds this")
+    cu.add_argument("--span-k", type=int, default=8,
+                    help="gram width for --max-dup-span-frac")
     cu.add_argument("--dedup-lines", type=int, default=None, metavar="MIN_DOCS",
                     help="drop lines appearing verbatim in >= MIN_DOCS "
                          "documents (CCNet-style boilerplate removal), "

@@ -271,3 +271,85 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     for _, pat, token in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.withColumns({**counts, "text_scrubbed": scrubbed})
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span statistics (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_freq: bool = True,
+) -> DataFrame:
+    """Per document, how much of it is made of word ``k``-grams that also
+    appear verbatim in at least ``min_docs`` distinct documents — the
+    span-level exact-duplication signal behind suffix-array substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): whole-doc hashes miss a copied paragraph inside an
+    otherwise-unique page, and this catches exactly that. Returns one row
+    per input document: (id, n_grams, n_dup_grams, dup_span_frac), where
+    ``n_grams`` is the number of word k-grams (0 for docs shorter than
+    ``k`` tokens, which then score 0.0), ``n_dup_grams`` counts gram
+    *positions* whose gram is corpus-frequent, and ``dup_span_frac`` is
+    their ratio. Filter on the fraction (curate-style) or feed the flagged
+    docs to a span-removal pass.
+
+    Same three-exchange scale shape as :func:`line_dedup`, and like it
+    nothing here shuffles document text: (1) frequency counting moves
+    (64-bit gram-hash, id) pairs with map-side combine; (2) the
+    hash-frequent *superset* is exact-verified by gram string, but only
+    candidate grams (semi-joined through the hash set) ride that recount,
+    so a hash collision can inflate the candidate set yet never mis-count;
+    (3) the per-doc flag join carries candidate gram strings only. The
+    exploded gram frame is recomputed per branch rather than persisted —
+    it is k× wider than the corpus and each recompute is a narrow
+    scan+split. ``broadcast_freq`` as in :func:`line_dedup`: the frequent
+    set is boilerplate-sized, broadcast it unless it outgrows an executor.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    # strict k-grams: unlike dedup.shingles there is NO whole-text
+    # fallback for short docs — a 3-token doc has zero 8-gram spans
+    gr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col), F.explode_outer(gr).alias("g")
+    ).withColumn("gh", F.xxhash64("g"))
+    cand = (
+        grams.filter(F.col("g").isNotNull())
+        .groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("gh")
+    )
+    if broadcast_freq:
+        cand = F.broadcast(cand)
+    freq = (
+        grams.join(cand, on="gh", how="left_semi")
+        .groupBy("g")
+        .agg(F.count_distinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("g", F.lit(True).alias("_freq"))
+    )
+    if broadcast_freq:
+        freq = F.broadcast(freq)
+    flagged = grams.join(freq, on="g", how="left")
+    n_grams = F.count(F.col("g")).cast("long")
+    n_dup = F.sum(F.when(F.col("_freq"), 1).otherwise(0)).cast("long")
+    return flagged.groupBy(id_col).agg(
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        F.when(n_grams > 0, n_dup / n_grams)
+        .otherwise(F.lit(0.0))
+        .alias("dup_span_frac"),
+    )

@@ -228,3 +228,60 @@ def line_filter(
             "text_clean": F.array_join(kept, line_sep),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-window document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_docs(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's whitespace token sequence into fixed windows
+    of ``chunk_tokens`` tokens that slide by ``chunk_tokens - overlap``
+    (the context-window chunking a training tokenizer consumes: every
+    token appears in at least one chunk, consecutive chunks share
+    ``overlap`` tokens so no training example starts cold at a window
+    boundary). Returns one row per chunk: (id, chunk_id, n_tokens,
+    chunk_text), ``chunk_id`` 0-based in document order; a document
+    shorter than one window yields exactly one (possibly short) chunk,
+    and the last chunk is the natural remainder. Tokens are the
+    normalized whitespace split — swap in a real tokenizer upstream by
+    passing pre-tokenized text.
+
+    Scale shape: a narrow per-row sequence -> posexplode -> slice of
+    array expressions — NO shuffle and no Python; output order within a
+    document is carried by ``chunk_id``, not a sort. The explode fans
+    each row out ~len/step times, so at 100 TB this pairs with a
+    partitioned write (the chunker itself adds no exchange) and AQE
+    coalesces the post-explode partitions.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )

@@ -215,3 +215,45 @@ def lm_score(
             F.round(F.exp(-F.avg(logp)), 4).alias("ppl"),
         )
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams by total occurrence count
+    (ties broken by gram ascending, so the result is deterministic) —
+    the heavy-hitter table a curation pass reads to pick boilerplate /
+    repetition thresholds, and the vocabulary seed for the LM filter.
+    Returns (gram, n_occurrences) with ``n_occurrences >= min_count``,
+    at most ``k`` rows, sorted (count desc, gram asc). Documents shorter
+    than ``n`` tokens contribute nothing.
+
+    Scale shape: explode -> two-phase count (map-side partial agg on the
+    gram string) -> global top-k. The top-k is NOT a global sort: Spark
+    plans ``orderBy().limit(k)`` as TakeOrderedAndProject — each
+    partition keeps a k-row heap and only k rows per partition reach the
+    driver-side merge, so the wide exchange is the count's hash
+    repartition and nothing else. ``min_count`` prunes the singleton
+    long tail (the overwhelming bulk of grams at web scale) before the
+    heap pass ever sees it.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    gr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(gr).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )
