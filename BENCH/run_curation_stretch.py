@@ -230,6 +230,69 @@ def main() -> None:
         sum(v[1] for v in winners.values()) == n_rows
     )
 
+    # ---- span-dup stats: with >= 2 identical replicas of every doc,
+    # EVERY 8-gram is cross-document-duplicated, so n_dup_grams must equal
+    # n_grams on every row and the gram total must scale exactly xR
+    from yckg_spark.operators.curation import dup_span_stats
+
+    base_grams = (
+        dup_span_stats(base, k=8).agg(F.sum("n_grams")).collect()[0][0]
+    )
+    sp = timed(
+        samples, "dup_span_stats",
+        lambda: dup_span_stats(docs, k=8)
+        .agg(
+            F.sum("n_grams").alias("g"),
+            F.sum(F.when(F.col("n_dup_grams") != F.col("n_grams"), 1)
+                  .otherwise(0)).alias("bad"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0],
+        args.reps,
+    )
+    checks["span_stats_every_gram_duplicated"] = (
+        sp["bad"] == 0 and sp["n"] == n_rows
+        and sp["g"] == args.replicas * base_grams
+    )
+
+    # ---- chunking: chunk count and token total scale exactly xR
+    from yckg_spark.operators.selection import chunk_docs
+
+    base_ck = chunk_docs(base, 20, overlap=4).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    ck = timed(
+        samples, "chunk_docs",
+        lambda: chunk_docs(docs, 20, overlap=4)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()[0],
+        args.reps,
+    )
+    checks["chunk_counts_scale_exactly"] = (
+        ck["n"] == args.replicas * base_ck["n"]
+        and ck["t"] == args.replicas * base_ck["t"]
+    )
+
+    # ---- corpus heavy hitters: the ordered top-20 bigram list is
+    # invariant under replication with every count exactly xR (count-desc,
+    # gram-asc ordering is preserved by a uniform scale)
+    from yckg_spark.operators.text_analysis import top_ngrams
+
+    base_top = [
+        (r["gram"], r["n_occurrences"])
+        for r in top_ngrams(base, n=2, k=20).collect()
+    ]
+    big_top = timed(
+        samples, "top_ngrams",
+        lambda: [
+            (r["gram"], r["n_occurrences"])
+            for r in top_ngrams(docs, n=2, k=20).collect()
+        ],
+        args.reps,
+    )
+    checks["top_ngrams_invariant_counts_scaled"] = big_top == [
+        (g, c * args.replicas) for g, c in base_top
+    ]
+
     timings = {name: min(s) for name, s in samples.items()}
     out = {
         "metric": "curation_stretch",
