@@ -443,3 +443,32 @@ def test_cli_curate_max_dup_span_frac(spark, tmp_path, capsys):
     assert rep["max_dup_span_frac"] == 0.5
     assert rep["docs_in"] == 3 and rep["docs_kept"] == 1
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {3}
+
+
+def test_cli_chunk_with_packing(spark, tmp_path, capsys):
+    """chunk splits docs into overlapping windows, mints order-preserving
+    cids, and packs chunks into token-budget shards laid out
+    partitionBy(shard)."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "chunks")
+    _write_docs(spark, inp, [
+        (1, " ".join(f"a{i}" for i in range(10))),
+        (2, " ".join(f"b{i}" for i in range(5))),
+        (3, "short"),
+    ])
+    assert main(["chunk", "--input", inp, "--output", out,
+                 "--chunk-tokens", "4", "--overlap", "1",
+                 "--pack-budget", "8"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc1: starts 0,3,6,9 -> 4 chunks; doc2: starts 0,3 -> 2; doc3: 1
+    assert rep["docs_in"] == 3 and rep["n_chunks"] == 7
+    # tokens per chunk: doc1 4+4+4+1, doc2 4+2, doc3 1 = 20
+    assert rep["n_tokens"] == 20 and rep["n_shards"] == 3
+    got = spark.read.parquet(out)
+    assert {"cid", "chunk_id", "n_tokens", "chunk_text", "shard"} <= set(got.columns)
+    rows = sorted(got.collect(), key=lambda r: r["cid"])
+    # cid order == (doc_id, chunk_id) lexical order
+    assert [(r["doc_id"], r["chunk_id"]) for r in rows] == sorted(
+        (r["doc_id"], r["chunk_id"]) for r in rows
+    )
+    # greedy sequential packing in cid order under the 8-token budget
+    assert [r["shard"] for r in rows] == [0, 0, 1, 1, 1, 2, 2]

@@ -587,6 +587,61 @@ def cmd_discover_mappings(args) -> int:
     return 0
 
 
+def cmd_chunk(args) -> int:
+    """Fixed-window training chunking pass, downstream of `select`: split
+    each document into --chunk-tokens-wide windows sliding by
+    chunk_tokens - overlap (one row per chunk), mint a globally unique,
+    (doc, chunk)-order-preserving chunk key cid = doc_id * stride +
+    chunk_id (stride = max chunks per doc + 1, from one narrow agg), and
+    optionally shard-pack the chunks under a token budget with the same
+    two-phase prefix sum `select` uses — the partitionBy(shard) layout a
+    tokenizer/loader consumes. Chunking itself adds no exchange; counts
+    ride the write as Observations so the store is never re-read."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.selection import chunk_docs, pack_shards
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    chunks = chunk_docs(
+        docs, args.chunk_tokens, overlap=args.overlap,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    max_ck = chunks.agg(F.max("chunk_id")).first()[0]
+    stride = (max_ck or 0) + 1
+    chunks = chunks.withColumn(
+        "cid", F.col(args.id_col) * F.lit(stride) + F.col("chunk_id")
+    )
+    packed = args.pack_budget is not None
+    if packed:
+        shards = pack_shards(
+            chunks, budget=args.pack_budget, id_col="cid",
+            tokens_col="n_tokens", n_buckets=args.n_buckets,
+        )
+        chunks = chunks.join(shards.select("cid", "shard"), on="cid")
+    obs = Observation()
+    writer = chunks.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.max(F.col("shard") if packed else F.lit(0)).alias("max_shard"),
+    ).write.mode("overwrite")
+    if packed:
+        writer = writer.partitionBy("shard")
+    writer.parquet(args.output)
+    n_chunks = obs.get["n_chunks"]
+    print(json.dumps({
+        "docs_in": docs.count(), "n_chunks": n_chunks,
+        "n_tokens": obs.get["n_tokens"],
+        "chunk_tokens": args.chunk_tokens, "overlap": args.overlap,
+        "n_shards": (obs.get["max_shard"] + 1) if packed and n_chunks else None,
+        "seconds": round(time.time() - t0, 3), "output": args.output,
+    }))
+    return 0
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="yckg", description=__doc__)
     p.add_argument("--master", default=None, help="override spark master (default: env/local)")
@@ -731,6 +786,24 @@ def make_parser() -> argparse.ArgumentParser:
     se.add_argument("--n-buckets", type=int, default=64,
                     help="prefix-sum range buckets for packing")
     se.set_defaults(fn=cmd_select)
+
+    ch = sub.add_parser(
+        "chunk", help="fixed-window training chunking + optional shard packing"
+    )
+    ch.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    ch.add_argument("--output", required=True, help="chunk parquet output dir")
+    ch.add_argument("--id-col", default="doc_id")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--chunk-tokens", type=int, required=True,
+                    help="window width in whitespace tokens")
+    ch.add_argument("--overlap", type=int, default=0,
+                    help="tokens shared between consecutive chunks")
+    ch.add_argument("--pack-budget", type=int, default=None,
+                    help="also shard-pack the chunks under this token "
+                         "budget (output laid out partitionBy(shard))")
+    ch.add_argument("--n-buckets", type=int, default=64,
+                    help="prefix-sum range buckets for packing")
+    ch.set_defaults(fn=cmd_chunk)
 
     lk = sub.add_parser("link", help="Wikidata entity linking + location triples")
     lk.add_argument("--input", required=True, help="web_pages parquet path or table")
