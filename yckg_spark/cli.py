@@ -600,6 +600,7 @@ def cmd_chunk(args) -> int:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    from yckg_spark.operators.dedup import normalize_text
     from yckg_spark.operators.selection import chunk_docs, pack_shards
 
     spark = _spark(args)
@@ -609,8 +610,13 @@ def cmd_chunk(args) -> int:
         docs, args.chunk_tokens, overlap=args.overlap,
         text_col=args.text_col, id_col=args.id_col,
     )
-    max_ck = chunks.agg(F.max("chunk_id")).first()[0]
-    stride = (max_ck or 0) + 1
+    # stride from the docs' max token count — the same max(chunk_id)+1 the
+    # chunk frame would yield, without materializing every slice twice
+    step = args.chunk_tokens - args.overlap
+    max_n = docs.agg(
+        F.max(F.size(F.split(normalize_text(F.col(args.text_col)), " ")))
+    ).first()[0]
+    stride = (max(max_n - 1, 0) // step + 1) if max_n is not None else 1
     chunks = chunks.withColumn(
         "cid", F.col(args.id_col) * F.lit(stride) + F.col("chunk_id")
     )
