@@ -96,3 +96,33 @@ def test_pii_scrub_leaves_no_residual_match(spark, texts):
             assert re.search(pat, r["text_scrubbed"]) is None, (name, r["text_scrubbed"])
             # counts mirror Python's regex engine on the raw text
         assert r["n_email"] == len(re.findall(PII_PATTERNS[0][1], r["text"]))
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_dup_span_stats_match_python_mirror(spark, texts):
+    from collections import defaultdict
+
+    from yckg_spark.operators.curation import dup_span_stats
+
+    k = 2
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dup_span_stats(df, k=k).collect()}
+    assert len(rows) == len(texts)
+    # python mirror: strict k-grams (no short-doc fallback), dup iff the
+    # gram string occurs in >= 2 distinct docs, positions counted
+    carriers = defaultdict(set)
+    grams_of = {}
+    for i, s in enumerate(texts):
+        t = _toks(s)
+        gs = [" ".join(t[j:j + k]) for j in range(len(t) - k + 1)] if len(t) >= k else []
+        grams_of[i] = gs
+        for g in set(gs):
+            carriers[g].add(i)
+    for i in rows:
+        gs = grams_of[i]
+        dup = sum(1 for g in gs if len(carriers[g]) >= 2)
+        assert rows[i]["n_grams"] == len(gs)
+        assert rows[i]["n_dup_grams"] == dup
+        want_frac = dup / len(gs) if gs else 0.0
+        assert rows[i]["dup_span_frac"] == pytest.approx(want_frac)

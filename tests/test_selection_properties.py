@@ -110,3 +110,28 @@ def test_line_filter_matches_python_mirror_and_is_idempotent(spark, text, min_wo
     if r.text_clean:
         assert r2.n_kept == r2.n_lines == r.n_kept
         assert r2.text_clean == r.text_clean
+
+
+@given(
+    texts=st.lists(TEXT, min_size=1, max_size=6),
+    chunk=st.integers(min_value=2, max_value=8),
+    overlap=st.integers(min_value=0, max_value=3),
+)
+@settings(**SETTINGS)
+def test_chunk_docs_matches_python_mirror(spark, texts, chunk, overlap):
+    from yckg_spark.operators.selection import chunk_docs
+
+    overlap = min(overlap, chunk - 1)
+    step = chunk - overlap
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+         for r in chunk_docs(df, chunk, overlap=overlap).collect())
+    )
+    want = []
+    for i, s in enumerate(texts):
+        t = re.sub(r"\s+", " ", s.lower()).strip().split(" ")
+        for ci, start in enumerate(range(0, max(len(t) - 1, 0) + 1, step)):
+            w = t[start:start + chunk]
+            want.append((i, ci, len(w), " ".join(w)))
+    assert got == sorted(want)
