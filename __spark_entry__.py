@@ -1840,6 +1840,45 @@ FROM documents d LEFT JOIN stats s USING (doc_id)
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Span-level exact-substring REMOVAL (the Lee-et-al dedup proper):
+    every token inside any cross-document-duplicated word 8-gram is
+    excised, overlapping duplicated grams merging into one removed span;
+    the unique remainder survives in document order."""
+    from yckg_spark.operators.curation import span_dedup
+
+    out = span_dedup(_t(spark, sf_dir, "documents"), k=8, min_docs=2)
+    return out.select(
+        "doc_id", "n_tokens", "n_kept", F.md5("text_deduped").alias("dedup_md5")
+    )
+
+
+_ORACLE_SPAN_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+), freq AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT gr.doc_id, unnest(generate_series(gr.pos, gr.pos + 7)) AS tpos
+  FROM grams gr JOIN freq f USING (g)
+), covl AS (
+  SELECT doc_id, list(tpos) AS ps FROM cov GROUP BY doc_id
+), kept AS (
+  SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_filter(t, (x, i) -> NOT list_contains(coalesce(ps, []), i - 1)) AS kt
+  FROM toks LEFT JOIN covl USING (doc_id)
+)
+SELECT doc_id, n_tokens, CAST(len(kt) AS BIGINT) AS n_kept,
+       md5(coalesce(array_to_string(kt, ' '), '')) AS dedup_md5
+FROM kept
+"""
+
+
 def q_chunk_docs(spark, sf_dir):
     """Fixed-window training chunking: 20-token windows sliding by 16
     (overlap 4) over each document's whitespace tokens — one row per
@@ -2068,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_filter": q_line_filter,
         "line_dedup": q_line_dedup,
         "dup_span_stats": q_dup_span_stats,
+        "span_dedup": q_span_dedup,
         "chunk_docs": q_chunk_docs,
         "top_ngrams": q_top_ngrams,
         "url_canonicalize": q_url_canonicalize,
@@ -2127,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         "line_filter": _ORACLE_LINE_FILTER,
         "line_dedup": _ORACLE_LINE_DEDUP,
         "dup_span_stats": _ORACLE_DUP_SPAN,
+        "span_dedup": _ORACLE_SPAN_DEDUP,
         "chunk_docs": _ORACLE_CHUNK_DOCS,
         "top_ngrams": _ORACLE_TOP_NGRAMS,
         "url_canonicalize": _oracle_url_canonicalize(),

@@ -472,3 +472,25 @@ def test_cli_chunk_with_packing(spark, tmp_path, capsys):
     )
     # greedy sequential packing in cid order under the 8-token budget
     assert [r["shard"] for r in rows] == [0, 0, 1, 1, 1, 2, 2]
+
+
+def test_cli_curate_dedup_spans_rewrites_text(spark, tmp_path, capsys):
+    """--dedup-spans excises cross-document duplicated spans from the
+    surviving documents' text and reports the token accounting."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "cur")
+    shared = "the quick brown fox"
+    _write_docs(spark, inp, [
+        (1, "intro words " + shared + " tail one here"),
+        (2, shared + " going elsewhere instead"),
+        (3, "nothing shared in this document at all"),
+    ])
+    assert main(["curate", "--input", inp, "--output", out,
+                 "--dedup-spans", "2", "--span-k", "3"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 9 + 7 + 7 tokens in; the 4-token shared run removed from docs 1, 2
+    assert rep["span_tokens_in"] == 23 and rep["span_tokens_kept"] == 15
+    assert rep["docs_kept"] == 3
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert kept[1] == "intro words tail one here"
+    assert kept[2] == "going elsewhere instead"
+    assert kept[3] == "nothing shared in this document at all"

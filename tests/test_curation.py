@@ -235,3 +235,48 @@ def test_dup_span_stats_broadcast_flag_equivalent(spark):
     b = {(r["doc_id"], r["n_grams"], r["n_dup_grams"])
          for r in dup_span_stats(df, k=4, broadcast_freq=False).collect()}
     assert a == b
+
+
+def test_span_dedup_removes_shared_spans_keeps_unique(spark):
+    """The shared 4-token run is excised from both carriers (overlapping
+    dup grams merge into one removed span), unique tails survive in
+    order, short docs pass through whole."""
+    from yckg_spark.operators.curation import span_dedup
+
+    shared = "the quick brown fox"
+    df = _docs(spark, [
+        "intro words " + shared + " tail one here",
+        shared + " going elsewhere instead",
+        "nothing shared in this document at all",
+        "too short",
+    ])
+    rows = {r["doc_id"]: r for r in span_dedup(df, k=3).collect()}
+    assert len(rows) == 4
+    # the only shared 3-grams are (the quick brown) and (quick brown fox)
+    # — no token after "fox" recurs — so covered tokens in doc 0 are
+    # exactly the 4 of the shared run (overlapping grams merged)
+    assert rows[0]["n_tokens"] == 9 and rows[0]["n_kept"] == 5
+    assert rows[0]["text_deduped"] == "intro words tail one here"
+    assert rows[1]["text_deduped"] == "going elsewhere instead"
+    assert rows[2]["n_kept"] == rows[2]["n_tokens"] == 7
+    assert rows[3]["n_kept"] == 2 and rows[3]["text_deduped"] == "too short"
+
+
+def test_span_dedup_all_duplicate_doc_survives_empty(spark):
+    from yckg_spark.operators.curation import span_dedup
+
+    df = _docs(spark, ["a b c d", "a b c d", "x y z w"])
+    rows = {r["doc_id"]: r for r in span_dedup(df, k=4).collect()}
+    assert rows[0]["n_kept"] == 0 and rows[0]["text_deduped"] == ""
+    assert rows[1]["n_kept"] == 0
+    assert rows[2]["n_kept"] == 4 and rows[2]["text_deduped"] == "x y z w"
+
+
+def test_span_dedup_within_doc_repeat_is_kept(spark):
+    """A span repeated only inside one document is not cross-document
+    duplication — nothing is removed."""
+    from yckg_spark.operators.curation import span_dedup
+
+    df = _docs(spark, ["p q r p q r p q r", "different words here entirely"])
+    rows = {r["doc_id"]: r for r in span_dedup(df, k=3).collect()}
+    assert rows[0]["n_kept"] == rows[0]["n_tokens"] == 9

@@ -377,3 +377,30 @@ def test_top_ngrams_plans_heap_topk_not_global_sort(spark):
     plan = _plan(top_ngrams(docs, n=2, k=5))
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_span_dedup_counting_exchange_is_hashes_only(spark):
+    """Span removal keeps line_dedup's discipline: the frequency-count
+    exchanges on the 64-bit gram hash carry (gh, id, pos) only — never
+    document text; only the final by-id rebuild may move tokens."""
+    from yckg_spark.operators.curation import span_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over lazy dog %d" % i)
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(span_dedup(docs, k=3))
+    assert "BroadcastHashJoin" in plan, plan
+    gh_exchanges = 0
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        args = next((ln for ln in lines if ln.startswith("Arguments")), "")
+        if "gh#" not in args:
+            continue
+        gh_exchanges += 1
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        assert "text#" not in inp and "tok#" not in inp, block
+    assert gh_exchanges >= 1, plan

@@ -291,6 +291,7 @@ def cmd_curate(args) -> int:
         line_dedup,
         pii_scrub,
         repetition_signals,
+        span_dedup,
     )
     from yckg_spark.operators.text_analysis import quality_score
     from yckg_spark.operators.urls import url_dedup
@@ -325,6 +326,23 @@ def cmd_curate(args) -> int:
         ).first()
         docs = docs.drop(text_col).join(
             dd.select(id_col, F.col("text_deduped").alias(text_col)),
+            on=id_col,
+            how="inner",
+        )
+
+    span_tokens_in = span_tokens_kept = None
+    if args.dedup_spans is not None:
+        # substring-level removal AFTER line dedup (coarse boilerplate
+        # first, then the finer copied-paragraph pass) and BEFORE scoring
+        sd = span_dedup(
+            docs, k=args.span_k, min_docs=args.dedup_spans,
+            text_col=text_col, id_col=id_col,
+        ).persist()
+        span_tokens_in, span_tokens_kept = sd.agg(
+            F.sum("n_tokens"), F.sum("n_kept")
+        ).first()
+        docs = docs.drop(text_col).join(
+            sd.select(id_col, F.col("text_deduped").alias(text_col)),
             on=id_col,
             how="inner",
         )
@@ -375,6 +393,8 @@ def cmd_curate(args) -> int:
         flagged.unpersist()
     if lines_in is not None:
         dd.unpersist()
+    if span_tokens_in is not None:
+        sd.unpersist()
     if n_urls_unique is not None:
         keep.unpersist()
     n_in = spark.read.parquet(args.input).count()
@@ -390,6 +410,9 @@ def cmd_curate(args) -> int:
     if lines_in is not None:
         out["lines_in"] = lines_in
         out["lines_kept"] = lines_kept
+    if span_tokens_in is not None:
+        out["span_tokens_in"] = span_tokens_in
+        out["span_tokens_kept"] = span_tokens_kept
     print(json.dumps(out))
     return 0
 
@@ -749,6 +772,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="decontamination n-gram width")
     cu.add_argument("--scrub-pii", action="store_true",
                     help="redact emails/IPs/phones in the output text")
+    cu.add_argument("--dedup-spans", type=int, default=None, metavar="MIN_DOCS",
+                    help="REMOVE every token inside a word --span-k-gram "
+                         "appearing verbatim in >= MIN_DOCS documents "
+                         "(substring-level dedup), after --dedup-lines and "
+                         "before scoring")
     cu.add_argument("--max-dup-span-frac", type=float, default=None,
                     help="drop docs whose fraction of word --span-k-grams "
                          "shared verbatim with other documents exceeds this")

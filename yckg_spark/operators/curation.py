@@ -353,3 +353,91 @@ def dup_span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_span_frac"),
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_freq: bool = True,
+) -> DataFrame:
+    """Remove cross-document duplicated spans from every document — the
+    removal counterpart of :func:`dup_span_stats` and the distributed
+    rendering of suffix-array substring dedup (Lee et al.): a token is
+    dropped iff it lies inside ANY word ``k``-gram that appears verbatim
+    in at least ``min_docs`` distinct documents, so overlapping duplicated
+    grams merge into one removed span and the unique remainder survives
+    in order. Returns one row per input document: (id, n_tokens, n_kept,
+    text_deduped); documents shorter than ``k`` tokens pass through
+    whole. Like the line variant, a span repeated only *within* one
+    document counts that document once and is kept.
+
+    Scale shape — the same discipline as :func:`line_dedup`, one more
+    bounded explode: phases (1) and (2) are dup_span_stats' hash-only
+    frequency count and candidate-only string verification (nothing
+    carries text); (3) each *flagged* gram start expands to its k covered
+    token positions — k× the flagged volume, which on a real corpus is a
+    sliver of the gram count (the 100-replica stretch is the deliberate
+    worst case) — and distinct (id, position) pairs anti-join the token
+    explode; (4) the rebuild regroups surviving (position, token) slivers
+    by document id, the single exchange that moves text, each kept token
+    exactly once.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    gr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col), F.posexplode(gr).alias("pos", "g")
+    ).withColumn("gh", F.xxhash64("g"))
+    cand = (
+        grams.select("gh", id_col)
+        .groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("gh")
+    )
+    if broadcast_freq:
+        cand = F.broadcast(cand)
+    freq = (
+        grams.join(cand, on="gh", how="left_semi")
+        .groupBy("g")
+        .agg(F.count_distinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("g")
+    )
+    if broadcast_freq:
+        freq = F.broadcast(freq)
+    covered = (
+        grams.join(freq, on="g", how="left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tpos"),
+        )
+        .distinct()
+    )
+    tokens = df.select(
+        F.col(id_col), F.posexplode(toks).alias("tpos", "tok")
+    )
+    kept = tokens.join(covered, on=[id_col, "tpos"], how="left_anti")
+    surv = F.array_sort(F.collect_list(F.struct("tpos", "tok")))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(F.transform(surv, lambda s: s["tok"]), " ").alias("text_deduped"),
+    )
+    # left join from the full doc set: a doc whose every token was inside
+    # a duplicated span has no surviving rows but must still come back
+    base = df.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+    return base.join(rebuilt, on=id_col, how="left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+    )
