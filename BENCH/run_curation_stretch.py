@@ -254,6 +254,31 @@ def main() -> None:
         and sp["g"] == args.replicas * base_grams
     )
 
+    # ---- span REMOVAL: with >= 2 identical replicas every >=8-token doc
+    # is wall-to-wall duplicated spans (n_kept = 0); only docs shorter
+    # than one gram keep their tokens — total kept is known exactly
+    from yckg_spark.operators.curation import span_dedup
+
+    base_short_tokens = (
+        dup_span_stats(base, k=8)
+        .filter(F.col("n_grams") == 0)
+        .join(base, "doc_id")
+        .agg(F.sum(F.size(F.split(F.trim(
+            F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))))
+        .collect()[0][0]
+    ) or 0
+    sr = timed(
+        samples, "span_dedup",
+        lambda: span_dedup(docs, k=8)
+        .agg(F.sum("n_kept").alias("kept"), F.count(F.lit(1)).alias("n"))
+        .collect()[0],
+        args.reps,
+    )
+    checks["span_removal_leaves_only_subgram_docs"] = (
+        sr["n"] == n_rows
+        and sr["kept"] == args.replicas * base_short_tokens
+    )
+
     # ---- chunking: chunk count and token total scale exactly xR
     from yckg_spark.operators.selection import chunk_docs
 
