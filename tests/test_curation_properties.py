@@ -126,3 +126,34 @@ def test_dup_span_stats_match_python_mirror(spark, texts):
         assert rows[i]["n_dup_grams"] == dup
         want_frac = dup / len(gs) if gs else 0.0
         assert rows[i]["dup_span_frac"] == pytest.approx(want_frac)
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_span_dedup_matches_python_mirror(spark, texts):
+    from collections import defaultdict
+
+    from yckg_spark.operators.curation import span_dedup
+
+    k = 2
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup(
+            spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string"),
+            k=k,
+        ).collect()
+    }
+    carriers = defaultdict(set)
+    toks_of = {i: _toks(s) for i, s in enumerate(texts)}
+    for i, t in toks_of.items():
+        for j in range(len(t) - k + 1):
+            carriers[" ".join(t[j:j + k])].add(i)
+    for i, t in toks_of.items():
+        covered = set()
+        for j in range(len(t) - k + 1):
+            if len(carriers[" ".join(t[j:j + k])]) >= 2:
+                covered.update(range(j, j + k))
+        kept = [tok for j, tok in enumerate(t) if j not in covered]
+        assert rows[i]["n_tokens"] == len(t)
+        assert rows[i]["n_kept"] == len(kept)
+        assert rows[i]["text_deduped"] == " ".join(kept)

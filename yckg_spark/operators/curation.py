@@ -415,13 +415,31 @@ def span_dedup(
     )
     if broadcast_freq:
         freq = F.broadcast(freq)
-    covered = (
+    # merge flagged starts into disjoint covered intervals per doc BEFORE
+    # expanding: all flagged grams cover [pos, pos+k-1] and pos is unique
+    # per doc, so a new interval starts exactly when pos > prev_pos + k
+    # (sessionize-style lag + running break sum). Expanding intervals
+    # instead of grams shrinks the explode from k x flagged-gram count to
+    # the exact covered-token count — inside a long duplicated run
+    # (overlapping grams, the common case) that is a ~k x reduction, and
+    # the per-doc window replaces a distinct() over the k-expanded rows.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    intervals = (
         grams.join(freq, on="g", how="left_semi")
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tpos"),
+        .select(F.col(id_col), F.col("pos"), brk.alias("brk"))
+        .withColumn(
+            "grp",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        .distinct()
+        .groupBy(id_col, "grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e"))
+    )
+    covered = intervals.select(
+        F.col(id_col), F.explode(F.sequence(F.col("s"), F.col("e"))).alias("tpos")
     )
     tokens = df.select(
         F.col(id_col), F.posexplode(toks).alias("tpos", "tok")
