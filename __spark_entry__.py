@@ -1897,7 +1897,7 @@ SELECT doc_id,
        CAST(s // 16 AS BIGINT) AS chunk_id,
        CAST(least(20, len(t) - s) AS BIGINT) AS n_tokens,
        array_to_string(t[s + 1:s + 20], ' ') AS chunk_text
-FROM toks, unnest(generate_series(0, greatest(len(t) - 1, 0), 16)) AS u(s)
+FROM toks, unnest(generate_series(0, greatest(len(t) - 5, 0), 16)) AS u(s)
 """
 
 

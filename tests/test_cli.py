@@ -459,10 +459,11 @@ def test_cli_chunk_with_packing(spark, tmp_path, capsys):
                  "--chunk-tokens", "4", "--overlap", "1",
                  "--pack-budget", "8"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    # doc1: starts 0,3,6,9 -> 4 chunks; doc2: starts 0,3 -> 2; doc3: 1
-    assert rep["docs_in"] == 3 and rep["n_chunks"] == 7
-    # tokens per chunk: doc1 4+4+4+1, doc2 4+2, doc3 1 = 20
-    assert rep["n_tokens"] == 20 and rep["n_shards"] == 3
+    # starts bounded at n-1-overlap: doc1 (10 toks) -> 0,3,6; doc2
+    # (5 toks) -> 0,3; doc3 -> 0
+    assert rep["docs_in"] == 3 and rep["n_chunks"] == 6
+    # tokens per chunk: doc1 4+4+4, doc2 4+2, doc3 1 = 19
+    assert rep["n_tokens"] == 19 and rep["n_shards"] == 3
     got = spark.read.parquet(out)
     assert {"cid", "chunk_id", "n_tokens", "chunk_text", "shard"} <= set(got.columns)
     rows = sorted(got.collect(), key=lambda r: r["cid"])
@@ -470,8 +471,9 @@ def test_cli_chunk_with_packing(spark, tmp_path, capsys):
     assert [(r["doc_id"], r["chunk_id"]) for r in rows] == sorted(
         (r["doc_id"], r["chunk_id"]) for r in rows
     )
-    # greedy sequential packing in cid order under the 8-token budget
-    assert [r["shard"] for r in rows] == [0, 0, 1, 1, 1, 2, 2]
+    # greedy sequential packing in cid order under the 8-token budget:
+    # cumulative starts 0,4,8 | 12,16 | 18
+    assert [r["shard"] for r in rows] == [0, 0, 1, 1, 2, 2]
 
 
 def test_cli_curate_dedup_spans_rewrites_text(spark, tmp_path, capsys):
@@ -494,3 +496,42 @@ def test_cli_curate_dedup_spans_rewrites_text(spark, tmp_path, capsys):
     assert kept[1] == "intro words tail one here"
     assert kept[2] == "going elsewhere instead"
     assert kept[3] == "nothing shared in this document at all"
+
+
+def test_cli_dedup_keep_best_rejects_non_neardup_methods(spark, tmp_path, capsys):
+    """--keep-best only applies to the near-dup component paths; with
+    --method exact or --against it must error, not silently keep min-id."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "kept")
+    _write_docs(spark, inp, [(1, "alpha"), (2, "beta")])
+    assert main(["dedup", "--input", inp, "--output", out,
+                 "--method", "exact", "--keep-best", "quality"]) == 2
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "keep-best" in rep["error"]
+    assert main(["dedup", "--input", inp, "--output", out,
+                 "--against", inp, "--keep-best", "quality"]) == 2
+
+
+def test_cli_curate_span_filter_sees_pre_removal_text(spark, tmp_path, capsys):
+    """When --dedup-spans and --max-dup-span-frac are combined, the
+    fraction filter must be computed on the PRE-removal text — after
+    removal every doc's dup fraction is ~0 and the threshold could never
+    fire. The wall-to-wall duplicated twins are dropped entirely (not
+    kept as empty stubs); the partially-duplicated doc is kept with its
+    shared span excised."""
+    inp, out = str(tmp_path / "docs"), str(tmp_path / "cur")
+    dup = "x1 x2 x3 x4 x5 x6"
+    _write_docs(spark, inp, [
+        (1, dup),                                    # frac 1.0 -> dropped
+        (2, dup),                                    # frac 1.0 -> dropped
+        (3, dup + " unique tail words here now ok"), # frac < 0.5 -> kept
+        (4, "entirely distinct document text here today"),
+    ])
+    assert main(["curate", "--input", inp, "--output", out,
+                 "--dedup-spans", "2", "--span-k", "6",
+                 "--max-dup-span-frac", "0.5"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_kept"] == 2
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(kept) == {3, 4}
+    # doc 3's shared 6-token prefix was excised by the removal pass
+    assert kept[3] == "unique tail words here now ok"

@@ -160,9 +160,11 @@ def test_line_filter_all_dropped_and_empty(spark):
 
 
 def test_chunk_docs_windows_and_overlap(spark):
-    """10 tokens, chunk 4, overlap 1 (step 3): starts 0,3,6,9 — last
-    chunk is the 1-token remainder; every token appears; consecutive
-    chunks share exactly one token."""
+    """10 tokens, chunk 4, overlap 1 (step 3): starts bounded at
+    n-1-overlap = 8, so [0, 3, 6] — every token appears, consecutive
+    chunks share exactly one token, and no trailing window repeats
+    tokens the previous chunk already covered (a start at 9 would emit
+    the pure-suffix duplicate 't9')."""
     from yckg_spark.operators.selection import chunk_docs
 
     df = spark.createDataFrame(
@@ -171,10 +173,10 @@ def test_chunk_docs_windows_and_overlap(spark):
     rows = sorted(chunk_docs(df, 4, overlap=1).collect(),
                   key=lambda r: r["chunk_id"])
     assert [r["chunk_text"] for r in rows] == [
-        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
     ]
-    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
-    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4]
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
 
 
 def test_chunk_docs_short_doc_and_validation(spark):

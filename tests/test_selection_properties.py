@@ -131,7 +131,9 @@ def test_chunk_docs_matches_python_mirror(spark, texts, chunk, overlap):
     want = []
     for i, s in enumerate(texts):
         t = re.sub(r"\s+", " ", s.lower()).strip().split(" ")
-        for ci, start in enumerate(range(0, max(len(t) - 1, 0) + 1, step)):
+        for ci, start in enumerate(
+            range(0, max(len(t) - 1 - overlap, 0) + 1, step)
+        ):
             w = t[start:start + chunk]
             want.append((i, ci, len(w), " ".join(w)))
     assert got == sorted(want)

@@ -200,6 +200,14 @@ def cmd_dedup(args) -> int:
         simhash_pairs,
     )
 
+    if args.keep_best is not None and (args.against is not None or args.method == "exact"):
+        # the keep policy only applies to the near-dup component paths;
+        # silently keeping min-id when the user asked for max-quality
+        # would corrupt a pipeline without any signal
+        print(json.dumps({"error": "--keep-best requires --method minhash "
+                                   "or simhash (not exact/--against)"}))
+        return 2
+
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
     t0 = time.time()
@@ -270,7 +278,7 @@ def cmd_dedup(args) -> int:
         "removed": n_in - n_out, "neardup_pairs": n_pairs,
         "against": args.against,
         "keep": (f"best:{args.keep_best}" if args.keep_best is not None
-                 and args.against is None and args.method != "exact" else "min_id"),
+                 else "min_id"),
         "seconds": round(time.time() - t0, 3), "output": args.output,
     }))
     return 0
@@ -322,13 +330,23 @@ def cmd_curate(args) -> int:
             docs, min_docs=args.dedup_lines, text_col=text_col, id_col=id_col
         ).persist()
         lines_in, lines_kept = dd.agg(
-            F.sum("n_lines"), F.sum("n_kept")
+            F.coalesce(F.sum("n_lines"), F.lit(0)),
+            F.coalesce(F.sum("n_kept"), F.lit(0)),
         ).first()
         docs = docs.drop(text_col).join(
             dd.select(id_col, F.col("text_deduped").alias(text_col)),
             on=id_col,
             how="inner",
         )
+
+    # the span-fraction FILTER must see the corpus BEFORE span removal
+    # rewrites the text (post-removal every doc's dup_span_frac is ~0 and
+    # the threshold could never fire), so stats are taken here either way
+    span_stats = None
+    if args.max_dup_span_frac is not None:
+        span_stats = dup_span_stats(
+            docs, k=args.span_k, text_col=text_col, id_col=id_col
+        ).select(id_col, "dup_span_frac")
 
     span_tokens_in = span_tokens_kept = None
     if args.dedup_spans is not None:
@@ -339,7 +357,8 @@ def cmd_curate(args) -> int:
             text_col=text_col, id_col=id_col,
         ).persist()
         span_tokens_in, span_tokens_kept = sd.agg(
-            F.sum("n_tokens"), F.sum("n_kept")
+            F.coalesce(F.sum("n_tokens"), F.lit(0)),
+            F.coalesce(F.sum("n_kept"), F.lit(0)),
         ).first()
         docs = docs.drop(text_col).join(
             sd.select(id_col, F.col("text_deduped").alias(text_col)),
@@ -358,14 +377,12 @@ def cmd_curate(args) -> int:
         & (F.col("top2gram_frac") <= args.max_top2gram_frac)
     )
 
-    if args.max_dup_span_frac is not None:
-        # span-level duplication is computed against the FULL (url/line-
-        # deduped) corpus, not the quality-filtered survivors — a copied
-        # paragraph in a dropped doc still marks its twin in a kept one
-        spans = dup_span_stats(
-            docs, k=args.span_k, text_col=text_col, id_col=id_col
-        ).select(id_col, "dup_span_frac")
-        cur = cur.join(spans, on=id_col, how="left").filter(
+    if span_stats is not None:
+        # span-level duplication was computed against the FULL (url/line-
+        # deduped, pre-span-removal) corpus, not the quality-filtered
+        # survivors — a copied paragraph in a dropped doc still marks its
+        # twin in a kept one
+        cur = cur.join(span_stats, on=id_col, how="left").filter(
             F.coalesce(F.col("dup_span_frac"), F.lit(0.0))
             <= args.max_dup_span_frac
         )
@@ -636,10 +653,20 @@ def cmd_chunk(args) -> int:
     # stride from the docs' max token count — the same max(chunk_id)+1 the
     # chunk frame would yield, without materializing every slice twice
     step = args.chunk_tokens - args.overlap
-    max_n = docs.agg(
-        F.max(F.size(F.split(normalize_text(F.col(args.text_col)), " ")))
-    ).first()[0]
+    max_n, max_id = docs.agg(
+        F.max(F.size(F.split(normalize_text(F.col(args.text_col)), " "))),
+        F.max(F.col(args.id_col)),
+    ).first()
     stride = (max(max_n - 1, 0) // step + 1) if max_n is not None else 1
+    if max_id is not None and int(max_id) > (2**63 - 1) // stride:
+        # cid = id*stride + chunk_id must not wrap 64-bit arithmetic
+        # (Spark does not error on long overflow outside ANSI mode, it
+        # wraps — two docs could then silently collide on cid)
+        print(json.dumps({"error": "doc ids too large for cid minting "
+                                   f"(max id {max_id} x stride {stride} "
+                                   "overflows long); pre-map ids to a "
+                                   "dense range first"}))
+        return 2
     chunks = chunks.withColumn(
         "cid", F.col(args.id_col) * F.lit(stride) + F.col("chunk_id")
     )
@@ -781,7 +808,8 @@ def make_parser() -> argparse.ArgumentParser:
                     help="drop docs whose fraction of word --span-k-grams "
                          "shared verbatim with other documents exceeds this")
     cu.add_argument("--span-k", type=int, default=8,
-                    help="gram width for --max-dup-span-frac")
+                    help="gram width for --dedup-spans and "
+                         "--max-dup-span-frac")
     cu.add_argument("--dedup-lines", type=int, default=None, metavar="MIN_DOCS",
                     help="drop lines appearing verbatim in >= MIN_DOCS "
                          "documents (CCNet-style boilerplate removal), "

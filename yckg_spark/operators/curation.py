@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from yckg_spark.operators.dedup import normalize_text, shingles
+from yckg_spark.operators.dedup import normalize_text, shingles, word_kgrams
 
 # ---------------------------------------------------------------------------
 # Gopher-style repetition signals
@@ -278,6 +278,35 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 # ---------------------------------------------------------------------------
 
 
+def _frequent_grams(
+    grams: DataFrame, min_docs: int, id_col: str, broadcast_cand: bool = True
+) -> DataFrame:
+    """Shared two-phase frequent-gram verification for the span stats and
+    span removal operators: (1) hash-only frequency count — the exchange
+    carries (64-bit gh, id) with map-side combine, never the gram string;
+    (2) exact recount by string among the hash-candidate superset only
+    (a collision can inflate the candidates, never the result). ``grams``
+    must carry (id_col, g, gh); returns the one-column ('g') frequent
+    set, unbroadcast — callers add their own hint once the frame has its
+    final shape."""
+    cand = (
+        grams.filter(F.col("g").isNotNull())
+        .groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("gh")
+    )
+    if broadcast_cand:
+        cand = F.broadcast(cand)
+    return (
+        grams.join(cand, on="gh", how="left_semi")
+        .groupBy("g")
+        .agg(F.count_distinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("g")
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     k: int = 8,
@@ -311,35 +340,11 @@ def dup_span_stats(
     scan+split. ``broadcast_freq`` as in :func:`line_dedup`: the frequent
     set is boilerplate-sized, broadcast it unless it outgrows an executor.
     """
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    n = F.size(toks)
-    # strict k-grams: unlike dedup.shingles there is NO whole-text
-    # fallback for short docs — a 3-token doc has zero 8-gram spans
-    gr = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     grams = df.select(
-        F.col(id_col), F.explode_outer(gr).alias("g")
+        F.col(id_col), F.explode_outer(word_kgrams(F.col(text_col), k)).alias("g")
     ).withColumn("gh", F.xxhash64("g"))
-    cand = (
-        grams.filter(F.col("g").isNotNull())
-        .groupBy("gh")
-        .agg(F.count_distinct(id_col).alias("ndocs"))
-        .filter(F.col("ndocs") >= min_docs)
-        .select("gh")
-    )
-    if broadcast_freq:
-        cand = F.broadcast(cand)
-    freq = (
-        grams.join(cand, on="gh", how="left_semi")
-        .groupBy("g")
-        .agg(F.count_distinct(id_col).alias("ndocs"))
-        .filter(F.col("ndocs") >= min_docs)
-        .select("g", F.lit(True).alias("_freq"))
+    freq = _frequent_grams(grams, min_docs, id_col, broadcast_freq).withColumn(
+        "_freq", F.lit(True)
     )
     if broadcast_freq:
         freq = F.broadcast(freq)
@@ -387,32 +392,11 @@ def span_dedup(
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(toks)
-    gr = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     grams = df.select(
-        F.col(id_col), F.posexplode(gr).alias("pos", "g")
+        F.col(id_col),
+        F.posexplode(word_kgrams(F.col(text_col), k)).alias("pos", "g"),
     ).withColumn("gh", F.xxhash64("g"))
-    cand = (
-        grams.select("gh", id_col)
-        .groupBy("gh")
-        .agg(F.count_distinct(id_col).alias("ndocs"))
-        .filter(F.col("ndocs") >= min_docs)
-        .select("gh")
-    )
-    if broadcast_freq:
-        cand = F.broadcast(cand)
-    freq = (
-        grams.join(cand, on="gh", how="left_semi")
-        .groupBy("g")
-        .agg(F.count_distinct(id_col).alias("ndocs"))
-        .filter(F.col("ndocs") >= min_docs)
-        .select("g")
-    )
+    freq = _frequent_grams(grams, min_docs, id_col, broadcast_freq)
     if broadcast_freq:
         freq = F.broadcast(freq)
     # merge flagged starts into disjoint covered intervals per doc BEFORE

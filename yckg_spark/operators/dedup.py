@@ -75,6 +75,23 @@ def shingles(col: Column, k: int = 3) -> Column:
     )).otherwise(F.array(normalize_text(col)))
 
 
+def word_kgrams(col: Column, k: int) -> Column:
+    """Strict word k-grams of the normalized text as an array<string> —
+    unlike :func:`shingles` there is NO whole-text fallback: a document
+    shorter than ``k`` tokens has an empty gram array. The span-dedup,
+    span-stats, and corpus-ngram operators all share this definition so
+    their gram universes can never drift apart."""
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _md5_32(col: Column) -> Column:
     """First 32 bits of md5 as a bigint — slower than xxhash64 but
     recomputable verbatim in external SQL engines (oracle mode)."""

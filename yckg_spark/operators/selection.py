@@ -250,9 +250,13 @@ def chunk_docs(
     boundary). Returns one row per chunk: (id, chunk_id, n_tokens,
     chunk_text), ``chunk_id`` 0-based in document order; a document
     shorter than one window yields exactly one (possibly short) chunk,
-    and the last chunk is the natural remainder. Tokens are the
-    normalized whitespace split — swap in a real tokenizer upstream by
-    passing pre-tokenized text.
+    and the last chunk is the natural remainder. Start offsets run only
+    to ``n_tokens - 1 - overlap``: a window starting past that would
+    contain no token the previous window lacks (a pure-suffix duplicate
+    training example), while the bound still guarantees every token
+    appears — the last start always exceeds ``n_tokens - chunk_tokens``.
+    Tokens are the normalized whitespace split — swap in a real
+    tokenizer upstream by passing pre-tokenized text.
 
     Scale shape: a narrow per-row sequence -> posexplode -> slice of
     array expressions — NO shuffle and no Python; output order within a
@@ -266,7 +270,9 @@ def chunk_docs(
     step = chunk_tokens - overlap
     toks = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1 - overlap, F.lit(0)), F.lit(step)
+    )
     return (
         df.select(
             F.col(id_col),

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from yckg_spark.operators.dedup import normalize_text
+from yckg_spark.operators.dedup import normalize_text, word_kgrams
 
 # small per-language stopword profiles for the n-gram/stopword heuristic
 STOPWORDS = {
@@ -241,16 +241,8 @@ def top_ngrams(
     long tail (the overwhelming bulk of grams at web scale) before the
     heap pass ever sees it.
     """
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    gr = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(gr).alias("gram"))
+        df.select(F.explode(word_kgrams(F.col(text_col), n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
