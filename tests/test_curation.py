@@ -280,3 +280,17 @@ def test_span_dedup_within_doc_repeat_is_kept(spark):
     df = _docs(spark, ["p q r p q r p q r", "different words here entirely"])
     rows = {r["doc_id"]: r for r in span_dedup(df, k=3).collect()}
     assert rows[0]["n_kept"] == rows[0]["n_tokens"] == 9
+
+
+def test_span_dedup_broadcast_flag_equivalent(spark):
+    from yckg_spark.operators.curation import span_dedup
+
+    df = _docs(spark, [
+        "one two three four five six", "zero two three four five seven",
+        "unrelated words entirely here now",
+    ])
+    a = {(r["doc_id"], r["n_kept"], r["text_deduped"])
+         for r in span_dedup(df, k=4, broadcast_freq=True).collect()}
+    b = {(r["doc_id"], r["n_kept"], r["text_deduped"])
+         for r in span_dedup(df, k=4, broadcast_freq=False).collect()}
+    assert a == b
