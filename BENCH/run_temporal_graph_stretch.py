@@ -159,6 +159,28 @@ def main() -> None:
         and asof["delta_sum"] == (n_purch - args.users)
     )
 
+    # ---- funnel: first click is j=1 (t=600 s), first purchase strictly
+    # after it is j=2 (t=1200 s) for EVERY user — both stages complete
+    # and the hop is exactly 600 s across all 50k users
+    from yckg_spark.operators.temporal import funnel
+
+    fun = timed(
+        samples, "funnel",
+        lambda: funnel(events, ["click", "purchase"]).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_completed").alias("min_done"),
+            F.max("n_completed").alias("max_done"),
+            F.min(F.col("ts_purchase").cast("long") - F.col("ts_click").cast("long")).alias("d_min"),
+            F.max(F.col("ts_purchase").cast("long") - F.col("ts_click").cast("long")).alias("d_max"),
+        ).collect()[0],
+        args.reps,
+    )
+    checks["funnel_all_users_complete_600s_hop"] = (
+        fun["n"] == args.users
+        and fun["min_done"] == fun["max_done"] == 2
+        and fun["d_min"] == fun["d_max"] == 600
+    )
+
     # ---- pagerank (a): ring -> exactly uniform ranks
     ring = spark.range(args.nodes).select(
         F.col("id").alias("src"), ((F.col("id") + 1) % args.nodes).alias("dst")

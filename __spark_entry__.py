@@ -1840,6 +1840,40 @@ FROM documents d LEFT JOIN stats s USING (doc_id)
 """
 
 
+def q_funnel(spark, sf_dir):
+    """view -> click -> purchase conversion funnel over the events
+    stream: per user, each stage completes at the earliest stage-typed
+    event strictly after the previous stage's completion. Single-shuffle
+    fold vs the oracle's chained strict-after minimum joins."""
+    from yckg_spark.operators.temporal import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+_ORACLE_FUNNEL = """
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+), u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_completed,
+       t1 AS ts_view, t2 AS ts_click, t3 AS ts_purchase
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_span_dedup(spark, sf_dir):
     """Span-level exact-substring REMOVAL (the Lee-et-al dedup proper):
     every token inside any cross-document-duplicated word 8-gram is
@@ -2108,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "dup_span_stats": q_dup_span_stats,
         "span_dedup": q_span_dedup,
+        "funnel": q_funnel,
         "chunk_docs": q_chunk_docs,
         "top_ngrams": q_top_ngrams,
         "url_canonicalize": q_url_canonicalize,
@@ -2168,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _ORACLE_LINE_DEDUP,
         "dup_span_stats": _ORACLE_DUP_SPAN,
         "span_dedup": _ORACLE_SPAN_DEDUP,
+        "funnel": _ORACLE_FUNNEL,
         "chunk_docs": _ORACLE_CHUNK_DOCS,
         "top_ngrams": _ORACLE_TOP_NGRAMS,
         "url_canonicalize": _oracle_url_canonicalize(),

@@ -120,3 +120,103 @@ def test_sessionize_equal_ts_share_a_session(spark):
     out = {r["event_id"]: r["session_seq"]
            for r in sessionize(ev, key="k", gap_seconds=1800).collect()}
     assert out[1] == 1 and out[2] == 1 and out[3] == 2
+
+
+def _funnel_brute(events, stages):
+    """Independent per-user reference: chained strict-after minimums."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, ts, et in events:
+        if et in stages:
+            by_user[uid].append((ts, et))
+    out = {}
+    for uid, evs in by_user.items():
+        times, last = [], None
+        for stage in stages:
+            cand = [t for t, et in evs
+                    if et == stage and (last is None or t > last)]
+            if not cand:
+                break
+            last = min(cand)
+            times.append(last)
+        out[uid] = times
+    return out
+
+
+def test_funnel_matches_brute_force(spark):
+    from datetime import datetime, timedelta
+
+    from yckg_spark.operators.temporal import funnel
+
+    t0 = datetime(2024, 1, 1)
+    m = lambda n: t0 + timedelta(minutes=n)
+    events = [
+        # user 1 completes all three, with decoys out of order first
+        (1, m(0), "click"), (1, m(1), "view"), (1, m(2), "click"),
+        (1, m(3), "purchase"), (1, m(4), "view"),
+        # user 2: purchase BEFORE the view -> only view completes
+        (2, m(0), "purchase"), (2, m(1), "view"),
+        # user 3: click only (never views) -> 0 stages
+        (3, m(0), "click"), (3, m(5), "click"),
+        # user 4: view then click at the SAME timestamp -> strict, click no
+        (4, m(2), "view"), (4, m(2), "click"),
+        # user 5: no stage-typed events at all -> absent from the output
+        (5, m(0), "error"),
+    ]
+    stages = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        events, "user_id long, ts timestamp, event_type string"
+    )
+    got = {r["user_id"]: r for r in funnel(df, stages).collect()}
+    want = _funnel_brute(events, stages)
+    assert set(got) == set(want) == {1, 2, 3, 4}
+    for uid, times in want.items():
+        assert got[uid]["n_completed"] == len(times), uid
+        for i, s in enumerate(stages):
+            expect = times[i] if i < len(times) else None
+            assert got[uid][f"ts_{s}"] == expect, (uid, s)
+    # spot-check the interesting rows
+    assert got[1]["n_completed"] == 3 and got[1]["ts_view"] == m(1)
+    assert got[1]["ts_click"] == m(2)  # the earlier decoy click ignored
+    assert got[2]["n_completed"] == 1
+    assert got[3]["n_completed"] == 0
+    assert got[4]["n_completed"] == 1  # equal-ts click does not advance
+
+
+def test_funnel_single_exchange(spark):
+    """One shuffle (the per-user grouping) — never k chained join
+    exchanges."""
+    from yckg_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame(
+        [(1, None, "view")], "user_id long, ts timestamp, event_type string"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        funnel(df, ["view", "click"])._jdf.queryExecution(), "formatted"
+    )
+    n_ex = sum(
+        1 for b in plan.split("\n\n")
+        if b.splitlines() and ") Exchange" in b.splitlines()[0]
+    )
+    assert n_ex == 1, plan
+
+
+def test_funnel_repeated_stage_gets_positional_columns(spark):
+    from datetime import datetime, timedelta
+
+    from yckg_spark.operators.temporal import funnel
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, "view"), (1, t0 + timedelta(minutes=1), "click"),
+         (1, t0 + timedelta(minutes=2), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = funnel(df, ["view", "click", "view"])
+    assert out.columns == [
+        "user_id", "n_completed", "ts1_view", "ts2_click", "ts3_view",
+    ]
+    r = out.collect()[0]
+    assert r["n_completed"] == 3
+    assert r["ts3_view"] == t0 + timedelta(minutes=2)

@@ -124,3 +124,81 @@ def sessionize(
     return events.withColumn("session_seq", F.sum(is_break).over(run)).withColumn(
         "session_id", F.concat_ws(":", F.col(key).cast("string"), F.col("session_seq"))
     )
+
+
+def funnel(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion per user: stage 1 completes at the
+    user's earliest ``stages[0]`` event, stage ``i`` at the earliest
+    ``stages[i]`` event STRICTLY after stage ``i-1``'s completion — the
+    classic conversion funnel (view → click → purchase). Returns one row
+    per user having at least one stage-typed event: (user, n_completed,
+    ts_<stage>...), with null timestamps past the deepest completed
+    stage. A stage event at exactly the previous stage's timestamp does
+    not advance (strict ordering).
+
+    Distributed shape: the textbook k-stage formulation is k chained
+    groupBy+join rounds — k shuffles of the event table. This is the
+    single-pass shape instead: one shuffle groups each user's
+    stage-typed events, an in-partition ``array_sort`` orders them, and
+    a higher-order ``aggregate`` folds the (stage-index, completion
+    times) state — O(per-user events) work with no window and no second
+    exchange. The HOF sits outside whole-stage codegen (measured cost in
+    BENCH/BASELINE.md's repetition A/B), but it touches only each
+    user's already-grouped slice; one exchange of (user, ts, type)
+    beats k exchanges at any scale. Skewed users are bounded by their
+    own event counts (the collect_list is per user, not global).
+    """
+    k = len(stages)
+    ev = df.filter(F.col(type_col).isin(list(stages))).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_et"),
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_ts").alias("ts"), F.col("_et").alias("et")))
+        ).alias("_evs")
+    )
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    init = F.struct(
+        F.lit(0).cast("int").alias("done"),
+        F.array().cast("array<timestamp>").alias("times"),
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        # F.get is 0-based and null-safe (out-of-range -> null), so the
+        # done=0 case needs no special-casing and ANSI mode cannot throw
+        advance = (
+            (acc["done"] < k)
+            & (e["et"] == F.get(stage_arr, acc["done"]))
+            & ((acc["done"] == 0) | (e["ts"] > F.get(acc["times"], acc["done"] - 1)))
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["done"] + 1).alias("done"),
+                F.concat(acc["times"], F.array(e["ts"])).alias("times"),
+            ),
+        ).otherwise(acc)
+
+    out = per_user.select(
+        F.col(user_col), F.aggregate("_evs", init, step).alias("_st")
+    )
+    cols = [
+        F.col(user_col),
+        F.col("_st.done").cast("long").alias("n_completed"),
+    ]
+    # a stage type may legitimately repeat (view -> click -> view);
+    # position-qualify the timestamp columns only when it does
+    names = [f"ts_{s}" for s in stages]
+    if len(set(names)) != len(names):
+        names = [f"ts{i + 1}_{s}" for i, s in enumerate(stages)]
+    for i, name in enumerate(names):
+        cols.append(F.get(F.col("_st.times"), i).alias(name))
+    return out.select(*cols)
