@@ -181,6 +181,27 @@ def main() -> None:
         and fun["d_min"] == fun["d_max"] == 600
     )
 
+    # ---- cohort retention: every user is active on days 0..19 from
+    # Monday 2024-01-01, so there is ONE cohort with exactly three weekly
+    # cells (days 0-6, 7-13, 14-19), each counting every user
+    from yckg_spark.operators.temporal import cohort_retention
+
+    coh = timed(
+        samples, "cohort_retention",
+        lambda: cohort_retention(events).agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.min("n_users").alias("lo"),
+            F.max("n_users").alias("hi"),
+            F.max("week_n").alias("max_w"),
+        ).collect()[0],
+        args.reps,
+    )
+    checks["cohort_one_cohort_three_full_weeks"] = (
+        coh["cells"] == 3
+        and coh["lo"] == coh["hi"] == args.users
+        and coh["max_w"] == 2
+    )
+
     # ---- pagerank (a): ring -> exactly uniform ranks
     ring = spark.range(args.nodes).select(
         F.col("id").alias("src"), ((F.col("id") + 1) % args.nodes).alias("dst")

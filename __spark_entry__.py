@@ -1874,6 +1874,41 @@ LEFT JOIN s3 USING (user_id)
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over the event stream: cohort =
+    ISO week of a user's first event, cells count distinct cohort users
+    active week_n weeks later. The synthetic stream starts every user in
+    week 1, which would collapse the triangle to one cohort — each
+    user's events before week ``user_id % 8`` are dropped first, so 8
+    staggered cohorts exercise the full (cohort, week_n) matrix through
+    both engines."""
+    from yckg_spark.operators.temporal import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts")
+        >= F.expr("timestamp'2024-01-01' + make_interval(0, 0, user_id % 8)")
+    )
+    return cohort_retention(ev)
+
+
+_ORACLE_COHORT = """
+WITH ev AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' + (user_id % 8) * INTERVAL 7 DAY
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM ev
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST((week - cohort_week) / 7 AS BIGINT) AS week_n,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN first USING (user_id)
+GROUP BY cohort_week, week_n
+"""
+
+
 def q_span_dedup(spark, sf_dir):
     """Span-level exact-substring REMOVAL (the Lee-et-al dedup proper):
     every token inside any cross-document-duplicated word 8-gram is
@@ -2143,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "span_dedup": q_span_dedup,
         "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "chunk_docs": q_chunk_docs,
         "top_ngrams": q_top_ngrams,
         "url_canonicalize": q_url_canonicalize,
@@ -2204,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": _ORACLE_DUP_SPAN,
         "span_dedup": _ORACLE_SPAN_DEDUP,
         "funnel": _ORACLE_FUNNEL,
+        "cohort_retention": _ORACLE_COHORT,
         "chunk_docs": _ORACLE_CHUNK_DOCS,
         "top_ngrams": _ORACLE_TOP_NGRAMS,
         "url_canonicalize": _oracle_url_canonicalize(),

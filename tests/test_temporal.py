@@ -220,3 +220,34 @@ def test_funnel_repeated_stage_gets_positional_columns(spark):
     r = out.collect()[0]
     assert r["n_completed"] == 3
     assert r["ts3_view"] == t0 + timedelta(minutes=2)
+
+
+def test_cohort_retention_known_matrix(spark):
+    """Hand-built two-cohort stream: Mondays 2024-01-01 and 2024-01-08.
+    u1 joins wk0 and returns wk1 and wk2; u2 joins wk0 only; u3 joins wk1
+    and returns wk2. Multiple events in one week count once."""
+    from datetime import datetime
+
+    from yckg_spark.operators.temporal import cohort_retention
+
+    rows = [
+        (1, datetime(2024, 1, 3, 10)),   # wk of Jan 1
+        (1, datetime(2024, 1, 3, 11)),   # same week, dup activity
+        (1, datetime(2024, 1, 9)),       # wk of Jan 8
+        (1, datetime(2024, 1, 16)),      # wk of Jan 15
+        (2, datetime(2024, 1, 1)),       # wk of Jan 1 only
+        (3, datetime(2024, 1, 8)),       # joins wk of Jan 8
+        (3, datetime(2024, 1, 21, 23)),  # Sunday -> still wk of Jan 15
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r["cohort_week"]), r["week_n"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # u1, u2
+        ("2024-01-01", 1): 1,  # u1
+        ("2024-01-01", 2): 1,  # u1
+        ("2024-01-08", 0): 1,  # u3
+        ("2024-01-08", 1): 1,  # u3 (Sunday Jan 21 is still wk of Jan 15)
+    }

@@ -202,3 +202,39 @@ def funnel(
     for i, name in enumerate(names):
         cols.append(F.get(F.col("_st.times"), i).alias(name))
     return out.select(*cols)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: each user's cohort is the ISO week
+    (Monday-truncated) of their first event; the output counts, for every
+    (cohort_week, week_n) cell, the distinct users of that cohort active
+    ``week_n`` weeks after joining — the standard retention triangle.
+    ``week_n = 0`` rows are the cohort sizes.
+
+    Distributed shape: a (user, week) distinct — the only pass over the
+    raw stream, with partial aggregation — then a per-user min for the
+    cohort and a join back keyed on the user id (ordinary shuffle join;
+    the activity frame is already one row per user-week, orders of
+    magnitude smaller than the event stream). The final cell count is a
+    two-phase agg over |users × active weeks| rows. Nothing ever carries
+    event payloads; the retention matrix itself is tiny (weeks²).
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    act = df.select(F.col(user_col), wk.alias("week")).distinct()
+    first = act.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(first, on=user_col)
+        .select(
+            F.col(user_col),
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_n"),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )
