@@ -1970,6 +1970,26 @@ FROM toks, unnest(generate_series(0, greatest(len(t) - 5, 0), 16)) AS u(s)
 """
 
 
+def q_length_stats(spark, sf_dir):
+    """Per-source length-distribution calibration table with exact
+    interpolated percentiles (Spark `percentile` vs DuckDB
+    `quantile_cont` — same (n-1)*p linear-interpolation definition)."""
+    from yckg_spark.operators.text_analysis import length_stats
+
+    return length_stats(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_LENGTH_STATS = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(n_chars), 4) AS mean,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p5,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p9,
+       ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY source
+"""
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus-wide heavy hitters: top-20 word bigrams by occurrence count
     (ties by gram ascending), singleton tail pruned by min_count=2; plans
@@ -2181,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "chunk_docs": q_chunk_docs,
         "top_ngrams": q_top_ngrams,
+        "length_stats": q_length_stats,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "kg_build": q_kg_build,
@@ -2243,6 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _ORACLE_COHORT,
         "chunk_docs": _ORACLE_CHUNK_DOCS,
         "top_ngrams": _ORACLE_TOP_NGRAMS,
+        "length_stats": _ORACLE_LENGTH_STATS,
         "url_canonicalize": _oracle_url_canonicalize(),
         "url_dedup": _oracle_url_dedup(),
         "geocode_join": _ORACLE_GEOCODE,

@@ -136,3 +136,19 @@ def test_top_ngrams_counts_and_ordering(spark):
     ]
     capped = top_ngrams(df, n=2, k=1, min_count=1).collect()
     assert len(capped) == 1 and capped[0]["gram"] == "a b"
+
+
+def test_length_stats_exact_percentiles(spark):
+    """Hand-computed interpolated percentiles over a tiny group."""
+    from yckg_spark.operators.text_analysis import length_stats
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [10, 20, 30, 40]] + [("b", 7)],
+        "source string, n_chars long",
+    )
+    rows = {r["source"]: r for r in
+            length_stats(df, percentiles=(0.5, 0.9)).collect()}
+    assert rows["a"]["n_docs"] == 4 and rows["a"]["mean"] == 25.0
+    # linear interpolation: p50 of [10,20,30,40] = 25, p90 = 37
+    assert rows["a"]["p5"] == 25.0 and rows["a"]["p9"] == 37.0
+    assert rows["b"]["p5"] == rows["b"]["p9"] == 7.0

@@ -249,3 +249,33 @@ def top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def length_stats(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group length/size distribution table — the calibration input a
+    curation pass reads to set its quality and truncation thresholds:
+    (group, n_docs, mean, p<pct>...) with exact linear-interpolated
+    percentiles.
+
+    Scale shape: ``percentile`` is Spark's exact aggregate — it buffers
+    the group's values, which is fine for calibration tables (groups are
+    sources/languages, values are scalars) but NOT for billion-row
+    single groups; swap in ``percentile_approx`` (t-digest, bounded
+    memory) when a group outgrows an executor, at declared accuracy
+    loss. One two-phase exchange keyed on the group."""
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg(value_col), 4).alias("mean"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.round(F.percentile(value_col, F.lit(p)), 4).alias(
+                f"p{str(p).replace('0.', '')}"
+            )
+        )
+    return df.groupBy(group_col).agg(*aggs)
