@@ -297,7 +297,8 @@ def main() -> None:
             "seconds_min": mins,
             "seconds_all": samples,
             "events_per_s": {
-                k: round(n_events / mins[k]) for k in ("sessionize", "asof_join")
+                k: round(n_events / mins[k])
+                for k in ("sessionize", "asof_join", "funnel", "cohort_retention")
             },
             "edges_per_s_modular": round(
                 mod_edges.count() / mins["pagerank_modular_3iter"]

@@ -1983,8 +1983,8 @@ _ORACLE_LENGTH_STATS = """
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        ROUND(avg(n_chars), 4) AS mean,
-       ROUND(quantile_cont(n_chars, 0.5), 4) AS p5,
-       ROUND(quantile_cont(n_chars, 0.9), 4) AS p9,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
        ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
 FROM documents GROUP BY source
 """

@@ -251,3 +251,30 @@ def test_cohort_retention_known_matrix(spark):
         ("2024-01-08", 0): 1,  # u3
         ("2024-01-08", 1): 1,  # u3 (Sunday Jan 21 is still wk of Jan 15)
     }
+
+
+def test_funnel_and_cohort_ignore_null_timestamps(spark):
+    """A null-ts event must neither complete a funnel stage (it would
+    stall every later strictly-after comparison) nor mint NULL retention
+    cells — SQL min()/group semantics ignore nulls, so do we."""
+    from datetime import datetime, timedelta
+
+    from yckg_spark.operators.temporal import cohort_retention, funnel
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, None, "view"), (1, t0, "view"),
+         (1, t0 + timedelta(minutes=1), "click"),
+         (2, None, "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {r["user_id"]: r for r in funnel(df, ["view", "click"]).collect()}
+    # user 1 completes both stages from the timestamped events; user 2
+    # has ONLY a null-ts event -> no foldable events -> absent
+    assert set(got) == {1}
+    assert got[1]["n_completed"] == 2 and got[1]["ts_view"] == t0
+
+    cells = cohort_retention(df).collect()
+    assert [(str(r["cohort_week"]), r["week_n"], r["n_users"]) for r in cells] == [
+        ("2024-01-01", 0, 1)
+    ]

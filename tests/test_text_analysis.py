@@ -150,5 +150,5 @@ def test_length_stats_exact_percentiles(spark):
             length_stats(df, percentiles=(0.5, 0.9)).collect()}
     assert rows["a"]["n_docs"] == 4 and rows["a"]["mean"] == 25.0
     # linear interpolation: p50 of [10,20,30,40] = 25, p90 = 37
-    assert rows["a"]["p5"] == 25.0 and rows["a"]["p9"] == 37.0
-    assert rows["b"]["p5"] == rows["b"]["p9"] == 7.0
+    assert rows["a"]["p50"] == 25.0 and rows["a"]["p90"] == 37.0
+    assert rows["b"]["p50"] == rows["b"]["p90"] == 7.0

@@ -155,7 +155,12 @@ def funnel(
     own event counts (the collect_list is per user, not global).
     """
     k = len(stages)
-    ev = df.filter(F.col(type_col).isin(list(stages))).select(
+    # null timestamps are dropped, not folded: a null-ts event would sort
+    # first, "complete" its stage with a null time, and stall every later
+    # strictly-after comparison — SQL min() semantics ignore nulls, so we do
+    ev = df.filter(
+        F.col(type_col).isin(list(stages)) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col),
         F.col(ts_col).alias("_ts"),
         F.col(type_col).alias("_et"),
@@ -224,7 +229,13 @@ def cohort_retention(
     event payloads; the retention matrix itself is tiny (weeks²).
     """
     wk = F.date_trunc("week", F.col(ts_col)).cast("date")
-    act = df.select(F.col(user_col), wk.alias("week")).distinct()
+    # null-ts events would mint (cohort, NULL) and (NULL, NULL) garbage
+    # cells; the retention triangle is defined over timestamped activity
+    act = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(user_col), wk.alias("week"))
+        .distinct()
+    )
     first = act.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
     return (
         act.join(first, on=user_col)

@@ -273,9 +273,7 @@ def length_stats(
         F.round(F.avg(value_col), 4).alias("mean"),
     ]
     for p in percentiles:
-        aggs.append(
-            F.round(F.percentile(value_col, F.lit(p)), 4).alias(
-                f"p{str(p).replace('0.', '')}"
-            )
-        )
+        # conventional names: 0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9
+        name = "p" + f"{p * 100:g}".replace(".", "_")
+        aggs.append(F.round(F.percentile(value_col, F.lit(p)), 4).alias(name))
     return df.groupBy(group_col).agg(*aggs)
