@@ -238,6 +238,36 @@ def main() -> None:
         pr_mod["n"] == args.nodes and abs(pr_mod["mass"] - 1.0) < 1e-6
     )
 
+    # ---- triangle counting on the 2M-node ring+chord graph (i -> i+1,
+    # i -> i+2 mod N): every consecutive triple closes a triangle, so
+    # every node is a member of EXACTLY 3 triangles
+    from yckg_spark.operators.graph import triangle_count
+
+    ring_chord = (
+        spark.range(args.nodes).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % args.nodes).alias("dst")
+        )
+        .union(
+            spark.range(args.nodes).select(
+                F.col("id").alias("src"),
+                ((F.col("id") + 2) % args.nodes).alias("dst"),
+            )
+        )
+        .repartition(int(CPUS))
+    )
+    tc = timed(
+        samples, "triangle_count",
+        lambda: triangle_count(ring_chord).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_triangles").alias("lo"),
+            F.max("n_triangles").alias("hi"),
+        ).collect()[0],
+        args.reps,
+    )
+    checks["triangles_exactly_3_per_node"] = (
+        tc["n"] == args.nodes and tc["lo"] == tc["hi"] == 3
+    )
+
     # ---- replicate sf0.1 documents 100x for tfidf / lm invariants
     t0 = time.time()
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")

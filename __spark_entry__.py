@@ -1970,6 +1970,54 @@ FROM toks, unnest(generate_series(0, greatest(len(t) - 5, 0), 16)) AS u(s)
 """
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over a deterministic ring+chord graph on
+    the document ids (i -> i+1, i -> i+2, i -> 7i+3, all mod N): every
+    consecutive id triple closes a triangle and the 7i+3 chords add
+    irregular ones, so counts vary across nodes. The modular 7i+3/13i+1
+    pagerank graph is triangle-free — unusable here. Both engines run the
+    same oriented two-join plan shape."""
+    from yckg_spark.operators.graph import triangle_count
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.broadcast(d.select(F.count(F.lit(1)).alias("n")))
+    i = F.col("doc_id")
+    fams = [i + 1, i + 2, i * 7 + 3]
+    edges = None
+    for fam in fams:
+        e = d.join(n).select(i.alias("src"), (fam % F.col("n")).alias("dst"))
+        edges = e if edges is None else edges.union(e)
+    return triangle_count(edges)
+
+
+_ORACLE_TRIANGLES = """
+WITH d AS (SELECT doc_id FROM documents),
+nc AS (SELECT count(*) AS n FROM d),
+raw AS (
+  SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM nc) AS t FROM d
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nc) FROM d
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nc) FROM d
+),
+e AS (
+  SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+  FROM raw WHERE s <> t
+),
+w AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+),
+tri AS (
+  SELECT x, y, z FROM w JOIN e e3 ON w.x = e3.lo AND w.z = e3.hi
+),
+m AS (
+  SELECT unnest([x, y, z]) AS node FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM m GROUP BY node
+"""
+
+
 def q_length_stats(spark, sf_dir):
     """Per-source length-distribution calibration table with exact
     interpolated percentiles (Spark `percentile` vs DuckDB
@@ -2202,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "top_ngrams": q_top_ngrams,
         "length_stats": q_length_stats,
+        "triangle_count": q_triangle_count,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "kg_build": q_kg_build,
@@ -2265,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _ORACLE_CHUNK_DOCS,
         "top_ngrams": _ORACLE_TOP_NGRAMS,
         "length_stats": _ORACLE_LENGTH_STATS,
+        "triangle_count": _ORACLE_TRIANGLES,
         "url_canonicalize": _oracle_url_canonicalize(),
         "url_dedup": _oracle_url_dedup(),
         "geocode_join": _ORACLE_GEOCODE,

@@ -84,3 +84,27 @@ def test_degrees_full_outer(spark):
     out = {r["node"]: (r["out_deg"], r["in_deg"])
            for r in degrees(_edges(spark, [(1, 2), (1, 3), (2, 3)])).collect()}
     assert out == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge has exactly two triangles sharing an edge; the
+    counts are per-node memberships. Direction, duplicates, and
+    self-loops must not inflate anything."""
+    from yckg_spark.operators.graph import triangle_count
+
+    edges = [
+        # K4 on {1,2,3,4} minus the (1,4) edge -> triangles 123 and 234
+        (1, 2), (2, 3), (3, 1), (2, 4), (3, 4),
+        # noise: reversed duplicate, exact duplicate, self-loop, pendant
+        (3, 2), (1, 2), (5, 5), (4, 6),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_count_no_triangles(spark):
+    from yckg_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert triangle_count(df).count() == 0
