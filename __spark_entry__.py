@@ -2062,6 +2062,139 @@ ORDER BY n_occurrences DESC, gram LIMIT 20
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 against a 3-term query: query-vocabulary filter
+    before any exchange, broadcast df/normalizer, TakeOrderedAndProject
+    top-k. Scores rounded before the ordering so the rank-k cut replays."""
+    from yckg_spark.operators.text_analysis import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), ["spark", "merge", "vector"], k=10)
+
+
+_ORACLE_BM25 = """
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^ ]+')) AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN ('spark', 'merge', 'vector') GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS doc_freq FROM tf GROUP BY 1
+)
+SELECT tf.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_matched,
+       round(sum(
+         ln((s.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5) + 1)
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+       ), 6) AS bm25
+FROM tf
+JOIN dfreq d USING (term)
+JOIN dl l USING (doc_id)
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, tf.doc_id ASC
+LIMIT 10
+"""
+
+
+def q_link_prediction(spark, sf_dir):
+    """Adamic-Adar / common-neighbor link prediction over the same
+    deterministic ring+chord graph as triangle_count: unlinked pairs
+    sharing >= 2 neighbors, hub-degree attached pre-self-join."""
+    from yckg_spark.operators.graph import link_prediction
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.broadcast(d.select(F.count(F.lit(1)).alias("n")))
+    i = F.col("doc_id")
+    fams = [i + 1, i + 2, i * 7 + 3]
+    edges = None
+    for fam in fams:
+        e = d.join(n).select(i.alias("src"), (fam % F.col("n")).alias("dst"))
+        edges = e if edges is None else edges.union(e)
+    return link_prediction(edges, min_common=2)
+
+
+_ORACLE_LINK_PRED = """
+WITH d AS (SELECT doc_id FROM documents),
+nc AS (SELECT count(*) AS n FROM d),
+raw AS (
+  SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM nc) AS t FROM d
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nc) FROM d
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nc) FROM d
+),
+e AS (
+  SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+  FROM raw WHERE s <> t
+),
+und AS (
+  SELECT lo AS node, hi AS nbr FROM e
+  UNION ALL
+  SELECT hi, lo FROM e
+),
+deg AS (SELECT node, count(*) AS degree FROM und GROUP BY 1),
+wedges AS (
+  SELECT u1.nbr AS id_a, u2.nbr AS id_b, g.degree
+  FROM und u1
+  JOIN und u2 ON u1.node = u2.node AND u1.nbr < u2.nbr
+  JOIN deg g ON g.node = u1.node
+),
+scores AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+         round(sum(1.0 / ln(degree)), 6) AS adamic_adar
+  FROM wedges GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.n_common, s.adamic_adar
+FROM scores s
+LEFT JOIN e ON s.id_a = e.lo AND s.id_b = e.hi
+WHERE e.lo IS NULL AND s.n_common >= 2
+"""
+
+
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.35, "src2": 0.25}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget corpus mixing: rates computed in-plan from per-source
+    n_chars mass toward 40/35/25 target proportions (binding stratum keeps
+    all, others downsample, unlisted sources dropped), then the
+    deterministic md5-prefix Bernoulli draw."""
+    from yckg_spark.operators.selection import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(d, _MIX_TARGETS, weight_col="n_chars")
+    return out.select("doc_id", "source", "n_chars")
+
+
+_ORACLE_MIXTURE = """
+WITH tgt(source, target) AS (VALUES ('src0', 0.4), ('src1', 0.35), ('src2', 0.25)),
+sums AS (
+  SELECT source, sum(CAST(n_chars AS DOUBLE)) AS w FROM documents GROUP BY 1
+),
+j AS (SELECT t.source, t.target, s.w FROM tgt t JOIN sums s USING (source)),
+lam AS (SELECT min(w / target) AS lam FROM j),
+thr AS (
+  SELECT source,
+         CASE WHEN (SELECT lam FROM lam) * target / w >= 1.0 THEN 'g'
+              ELSE lower(lpad(to_hex(CAST(floor((SELECT lam FROM lam) * target / w * 4294967296.0) AS BIGINT)), 8, '0'))
+         END AS t
+  FROM j
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN thr USING (source)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':'), 1, 8) < thr.t
+"""
+
+
 def _messy_url() -> Column:
     """Deterministic messy-URL synthesis exercising every canonicalization
     rule: scheme/host case, default :80/:443 ports, tracking params, shuffled
@@ -2249,6 +2382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "chunk_docs": q_chunk_docs,
         "top_ngrams": q_top_ngrams,
+        "bm25_topk": q_bm25_topk,
+        "link_prediction": q_link_prediction,
+        "mixture_sample": q_mixture_sample,
         "length_stats": q_length_stats,
         "triangle_count": q_triangle_count,
         "url_canonicalize": q_url_canonicalize,
@@ -2313,6 +2449,9 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _ORACLE_COHORT,
         "chunk_docs": _ORACLE_CHUNK_DOCS,
         "top_ngrams": _ORACLE_TOP_NGRAMS,
+        "bm25_topk": _ORACLE_BM25,
+        "link_prediction": _ORACLE_LINK_PRED,
+        "mixture_sample": _ORACLE_MIXTURE,
         "length_stats": _ORACLE_LENGTH_STATS,
         "triangle_count": _ORACLE_TRIANGLES,
         "url_canonicalize": _oracle_url_canonicalize(),

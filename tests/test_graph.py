@@ -108,3 +108,44 @@ def test_triangle_count_no_triangles(spark):
 
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     assert triangle_count(df).count() == 0
+
+
+def test_link_prediction_hand_checked(spark):
+    # 1-2, 1-3, 2-3, 3-4: every linked pair is anti-joined away; the two
+    # surviving pairs share only node 3 (degree 3) -> aa = 1/ln(3).
+    from math import log
+
+    from yckg_spark.operators.graph import link_prediction
+
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    rows = {
+        (r.id_a, r.id_b): (r.n_common, r.adamic_adar)
+        for r in link_prediction(e).collect()
+    }
+    aa = round(1.0 / log(3), 6)
+    assert rows == {(1, 4): (1, aa), (2, 4): (1, aa)}
+
+
+def test_link_prediction_collapses_direction_and_multiplicity(spark):
+    from yckg_spark.operators.graph import link_prediction
+
+    base = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    noisy = base + [(2, 1), (3, 1), (4, 3), (1, 2), (5, 5)]
+    a = sorted(map(tuple, link_prediction(_edges(spark, base)).collect()))
+    b = sorted(map(tuple, link_prediction(_edges(spark, noisy)).collect()))
+    assert a == b
+
+
+def test_link_prediction_max_degree_and_min_common(spark):
+    from yckg_spark.operators.graph import link_prediction
+
+    # hub 0 -- {1..5} plus 1-2: without the cap the hub middles predict
+    # every spoke pair; capping at 4 drops the hub, leaving only wedges
+    # whose endpoints are already linked -> empty.
+    e = _edges(spark, [(0, i) for i in range(1, 6)] + [(1, 2)])
+    uncapped = link_prediction(e).collect()
+    assert len(uncapped) == 9  # C(5,2) spoke pairs minus the linked (1,2)
+    assert all(r.n_common == 1 for r in uncapped)
+    assert link_prediction(e, max_degree=4).count() == 0
+    # min_common prunes single-wedge pairs: no pair shares two middles here
+    assert link_prediction(e, min_common=2).count() == 0

@@ -202,3 +202,64 @@ def test_chunk_docs_no_overlap_partitions_exactly(spark):
     rows = sorted(chunk_docs(df, 4).collect(), key=lambda r: r["chunk_id"])
     assert " ".join(r["chunk_text"] for r in rows) == text
     assert sum(r["n_tokens"] for r in rows) == 11
+
+
+# -- mixture_sample ----------------------------------------------------------
+
+
+def _mixture_py(rows, targets, weight_idx=4):
+    """Pure-Python mirror of mixture_sample's rate arithmetic + md5 draw."""
+    import hashlib
+
+    sums = {}
+    for r in rows:
+        if r[3] in targets:
+            sums[r[3]] = sums.get(r[3], 0.0) + float(r[weight_idx])
+    lam = min(sums[s] / targets[s] for s in sums)
+    kept = set()
+    for r in rows:
+        s = r[3]
+        if s not in sums:
+            continue
+        rate = lam * targets[s] / sums[s]
+        thr = "g" if rate >= 1.0 else format(int(rate * 2**32), "08x")
+        if hashlib.md5(f"{r[0]}:".encode()).hexdigest()[:8] < thr:
+            kept.add(r[0])
+    return kept
+
+
+def test_mixture_sample_matches_python_mirror(docs):
+    from yckg_spark.operators.selection import mixture_sample
+
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = mixture_sample(docs, targets, weight_col="n_chars")
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == _mixture_py(docs.collect(), targets)
+    assert kept  # non-degenerate draw
+    # unlisted strata are dropped entirely
+    assert out.filter(F.col("source") == "src3").count() == 0
+    # row-deterministic: invariant under repartitioning
+    kept2 = {r.doc_id for r in mixture_sample(docs.repartition(7), targets, weight_col="n_chars").collect()}
+    assert kept2 == kept
+
+
+def test_mixture_sample_binding_stratum_keeps_all(docs):
+    from yckg_spark.operators.selection import mixture_sample
+
+    out = mixture_sample(docs, {"src0": 1.0})
+    assert out.count() == docs.filter(F.col("source") == "src0").count()
+
+
+def test_mixture_sample_doc_count_weights_and_validation(docs):
+    import pytest as _pytest
+
+    from yckg_spark.operators.selection import mixture_sample
+
+    # weight_col=None weighs by document count
+    kept = {r.doc_id for r in mixture_sample(docs, {"src0": 0.6, "src1": 0.4}).collect()}
+    rows = [(r.doc_id, None, None, r.source, 1) for r in docs.collect()]
+    assert kept == _mixture_py(rows, {"src0": 0.6, "src1": 0.4})
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, {})
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, {"src0": 0.0})

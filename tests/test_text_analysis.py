@@ -152,3 +152,68 @@ def test_length_stats_exact_percentiles(spark):
     # linear interpolation: p50 of [10,20,30,40] = 25, p90 = 37
     assert rows["a"]["p50"] == 25.0 and rows["a"]["p90"] == 37.0
     assert rows["b"]["p50"] == rows["b"]["p90"] == 7.0
+
+
+def _bm25_py(texts, query, k1=1.2, b=0.75):
+    """Pure-Python BM25 mirror (same formula shape as the operator)."""
+    from math import log
+
+    toks = {i: t.lower().split() for i, t in texts}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n = float(len(texts))
+    avgdl = sum(dl.values()) / n
+    dfreq = {q: sum(1 for ts in toks.values() if q in ts) for q in query}
+    out = {}
+    for i, ts in toks.items():
+        score, matched = 0.0, 0
+        for q in query:
+            tf = float(ts.count(q))
+            if not tf:
+                continue
+            matched += 1
+            idf = log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1)
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[i] / avgdl))
+        if matched:
+            out[i] = (matched, round(score, 6))
+    return out
+
+
+def test_bm25_matches_python_mirror(spark):
+    from yckg_spark.operators.text_analysis import bm25_topk
+
+    texts = [
+        (1, "spark merge spark join"),
+        (2, "merge merge merge sort sort sort sort sort"),
+        (3, "vector spark"),
+        (4, "table scan only"),
+        (5, "spark spark spark spark"),
+    ]
+    query = ["spark", "merge", "vector"]
+    got = {
+        r.doc_id: (r.n_terms_matched, r.bm25)
+        for r in bm25_topk(_docs(spark, texts), query, k=10).collect()
+    }
+    assert got == _bm25_py(texts, query)
+    assert 4 not in got  # no query term -> no row
+
+
+def test_bm25_topk_cut_and_validation(spark):
+    import pytest as _pytest
+
+    from yckg_spark.operators.text_analysis import bm25_topk
+
+    # identical docs tie on score; the k-cut must be by ascending id
+    texts = [(i, "spark alpha beta") for i in range(6)]
+    rows = bm25_topk(_docs(spark, texts), ["spark"], k=3).collect()
+    assert [r.doc_id for r in rows] == [0, 1, 2]
+    with _pytest.raises(ValueError):
+        bm25_topk(_docs(spark, texts), [])
+
+
+def test_bm25_plans_take_ordered(spark):
+    from yckg_spark.operators.text_analysis import bm25_topk
+
+    plan = bm25_topk(
+        _docs(spark, [(1, "spark")]), ["spark"], k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

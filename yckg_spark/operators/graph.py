@@ -1,4 +1,5 @@
-"""Graph analytics over the KG / link graph: fixed-iteration PageRank.
+"""Graph analytics over the KG / link graph: fixed-iteration PageRank,
+per-node triangle counting, and common-neighbor link prediction.
 
 A knowledge graph built from web pages immediately invites link-graph
 analytics — PageRank over the page/host graph is the canonical crawl
@@ -121,6 +122,64 @@ def _pagerank_step(
             (F.lit(base) + damping * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
             "odeg",
         )
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Common-neighbor / Adamic-Adar link-prediction scores over the
+    undirected simple graph induced by ``edges``: for every pair of nodes
+    NOT yet connected that share at least ``min_common`` neighbors,
+    returns (id_a, id_b, n_common, adamic_adar) with id_a < id_b, where
+    ``adamic_adar = Σ_mid 1/ln(degree(mid))`` over the shared neighbors —
+    the classic related-page / mirror-site signal on a web link graph
+    (hub middles contribute less than niche ones). Scores are rounded to
+    6 decimals; a middle inside a wedge always has degree >= 2, so the
+    log is never zero.
+
+    Distributed shape: edges are canonicalized once to (lo, hi) and
+    expanded to a both-ways adjacency list; the middle node's degree is
+    attached to ONE side before the wedge self-join, so the join carries
+    only (mid, nbr, degree) ids — no payloads, and the degree join keys
+    on the same column as the wedge join (one partitioning, reused).
+    Wedge fan-out is Σ_mid deg(mid)² — on a web graph the hub middles
+    dominate, and ``max_degree`` is the standard cap that drops them
+    BEFORE the self-join (a hub shared by everything predicts nothing
+    anyway); what remains is ordinary AQE skew-join territory. The
+    already-linked filter is a left-anti join on the canonical edge, and
+    ``min_common`` prunes the single-wedge long tail after the count.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .distinct()
+    )
+    und = e.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).union(
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("degree") <= max_degree)
+    left = und.join(deg, "node")  # inner: max_degree drops hub middles here
+    wedges = (
+        left.join(und.select("node", F.col("nbr").alias("nbr2")), "node")
+        .filter(F.col("nbr") < F.col("nbr2"))
+        .select(F.col("nbr").alias("id_a"), F.col("nbr2").alias("id_b"), "degree")
+    )
+    scores = wedges.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.round(F.sum(1.0 / F.log(F.col("degree"))), 6).alias("adamic_adar"),
+    )
+    return scores.filter(F.col("n_common") >= min_common).join(
+        e,
+        (F.col("id_a") == F.col("lo")) & (F.col("id_b") == F.col("hi")),
+        "left_anti",
     )
 
 

@@ -80,6 +80,57 @@ def stratified_sample(
     return df.filter(key < thr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget corpus mixing: downsample each stratum so the surviving
+    corpus matches the ``targets`` proportions (by ``weight_col`` mass —
+    token counts in a real pipeline — or by document count when None),
+    keeping as much data as the targets allow. The scale factor is
+    ``λ = min_s(w_s / target_s)``: the most-over-targeted stratum keeps
+    everything (rate exactly 1) and every other stratum keeps
+    ``λ·target_s / w_s`` of its mass in expectation; nothing is ever
+    upsampled. Strata absent from ``targets`` are dropped. This is the
+    mixture-reweighting step (the DoReMi/Pile recipe's sampling stage)
+    that follows curation and precedes packing.
+
+    The draw itself is ``stratified_sample``'s deterministic md5-prefix
+    Bernoulli — row-deterministic, restart-stable, re-drawable via
+    ``salt``. Unlike ``stratified_sample`` the rates are COMPUTED from
+    the data, entirely in-plan: per-stratum mass is one two-phase agg
+    (stratum-count rows), λ one broadcast scalar, and the thresholds join
+    back as a broadcast — no driver collect, so the same plan serves 100
+    TB. Weights are summed as doubles; integer-valued weights below 2^53
+    sum exactly, so the rate arithmetic replays bit-for-bit on any
+    IEEE-double engine (the DuckDB oracle replays it literally).
+    """
+    if not targets:
+        raise ValueError("targets must map at least one stratum to a weight")
+    if any(t <= 0 for t in targets.values()):
+        raise ValueError("target weights must be positive")
+    tgt = df.sparkSession.createDataFrame(
+        [(s, float(t)) for s, t in targets.items()], f"{strata_col} string, target double"
+    )
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("double")
+    sums = df.groupBy(strata_col).agg(F.sum(w).alias("w"))
+    j = sums.join(F.broadcast(tgt), strata_col)
+    lam = j.agg(F.min(F.col("w") / F.col("target")).alias("lam"))
+    rate = F.col("lam") * F.col("target") / F.col("w")
+    # rate >= 1 (the binding stratum, up to float round-trip) keeps all;
+    # else the md5-prefix threshold — same uniform draw as stratified_sample.
+    thr = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(F.floor(rate * F.lit(2.0**32)).cast("long")), 8, "0"))
+    )
+    rates = j.join(F.broadcast(lam)).select(strata_col, thr.alias("_thr"))
+    key = F.substring(F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+    return df.join(F.broadcast(rates), strata_col).filter(key < F.col("_thr")).drop("_thr")
+
+
 # ---------------------------------------------------------------------------
 # per-source cap (anti-domination)
 # ---------------------------------------------------------------------------

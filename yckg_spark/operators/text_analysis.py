@@ -251,6 +251,68 @@ def top_ngrams(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 against a bag of query terms —
+    the retrieval scorer a curation pipeline uses to pull topic-focused
+    subsets out of a web corpus (and the sharper cousin of the
+    decontamination gram-match). Returns (id, n_terms_matched, bm25),
+    at most ``k`` rows, ordered (bm25 desc, id asc); ``bm25`` is rounded
+    to 6 decimals BEFORE the ordering so the cut at rank k is total and
+    replayable. idf uses the standard +1-smoothed log form
+    ln((N - df + 0.5) / (df + 0.5) + 1), which is never negative.
+
+    Scale shape: the corpus is scanned twice, both narrowly — once for
+    per-document lengths (a codegen'd regexp count, no explode) and once
+    for the term explode, which is filtered to the query vocabulary
+    BEFORE any exchange, so only matching (id, term) pairs shuffle.
+    Document frequency and the (N, avgdl) normalizer are tiny aggregates
+    that ride broadcasts; the only wide exchange on matched pairs is the
+    per-document sum. The final top-k plans as TakeOrderedAndProject —
+    a k-row heap per partition, never a global sort.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    c = F.col(text_col)
+    dl = df.select(
+        F.col(id_col),
+        F.regexp_count(normalize_text(c), F.lit(r"[^ ]+")).cast("long").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        _doc_terms(df, text_col, id_col)
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("doc_freq"))
+    idf = F.log((F.col("n_docs") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5) + 1)
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    weight = idf * F.col("tf") * (k1 + 1) / norm
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.round(F.sum(weight), 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def length_stats(
     df: DataFrame,
     value_col: str = "n_chars",
