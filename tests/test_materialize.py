@@ -246,3 +246,32 @@ def test_time_travel_reads(spark, pages, tmp_path):
     # a bound before the first snapshot is an error, as in Iceberg
     with pytest.raises(ValueError, match="no snapshot"):
         read_triples(spark, out, as_of_sequence=0)
+
+
+def test_vacuum_removes_orphans_keeps_committed(spark, pages, tmp_path):
+    from yckg_spark.materialize import read_triples, remove_orphans
+
+    out = str(tmp_path / "kg")
+    run_resumable(spark, pages, out, n_buckets=2, use_extraction=False)
+    before = read_triples(spark, out).count()
+    # fabricate a killed run's residue: data dirs with no manifest row
+    orphan_t = tmp_path / "kg" / "triples" / "bucket=9"
+    orphan_e = tmp_path / "kg" / "errors" / "bucket=9"
+    spark.range(3).write.parquet(str(orphan_t))
+    spark.range(2).write.parquet(str(orphan_e))
+    res = remove_orphans(spark, out)
+    assert res["n_removed"] == 2
+    assert res["removed"] == ["errors/bucket=9", "triples/bucket=9"]
+    assert res["committed_buckets"] == 2
+    assert not orphan_t.exists() and not orphan_e.exists()
+    # committed data untouched and still readable
+    assert read_triples(spark, out).count() == before
+    # idempotent: a second pass finds nothing
+    assert remove_orphans(spark, out)["n_removed"] == 0
+
+
+def test_vacuum_on_empty_store(spark, tmp_path):
+    from yckg_spark.materialize import remove_orphans
+
+    res = remove_orphans(spark, str(tmp_path / "nothing"))
+    assert res == {"n_removed": 0, "removed": [], "committed_buckets": 0}

@@ -165,6 +165,17 @@ def cmd_snapshots(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Remove orphan bucket partition dirs (data written but never
+    manifest-committed — a killed run's residue): the Iceberg
+    remove_orphan_files maintenance action."""
+    from yckg_spark.materialize import remove_orphans
+
+    spark = _spark(args)
+    print(json.dumps(remove_orphans(spark, args.input)))
+    return 0
+
+
 def cmd_stream(args) -> int:
     from yckg_spark.streaming.incremental import start_incremental_build
 
@@ -727,6 +738,10 @@ def make_parser() -> argparse.ArgumentParser:
     sn = sub.add_parser("snapshots", help="commit lineage (snapshot metadata table)")
     sn.add_argument("--input", required=True, help="built triple-store dir")
     sn.set_defaults(fn=cmd_snapshots)
+
+    vc = sub.add_parser("vacuum", help="delete orphan (uncommitted) bucket dirs")
+    vc.add_argument("--input", required=True, help="built triple-store dir")
+    vc.set_defaults(fn=cmd_vacuum)
 
     cp = sub.add_parser("compact", help="global dedup + canonical store re-layout")
     cp.add_argument("--input", required=True, help="dir containing a triples/ output")

@@ -257,6 +257,49 @@ def compact_store(
     return {"n_triples": n, "out": tdir, "n_buckets": n_buckets}
 
 
+def remove_orphans(spark: SparkSession, out_dir: str) -> dict:
+    """Delete bucket partition dirs with no committed manifest row — the
+    Iceberg ``remove_orphan_files`` maintenance action, emulated over the
+    bucket layout. Orphans arise when a run is killed mid-write (the data
+    lands before the manifest row commits; resume normally overwrites the
+    dir, but a reconfigured or abandoned run leaves it forever) — they are
+    invisible to readers (``read_triples`` time-travel unions only
+    manifest-listed buckets) but they hold storage and show up in naive
+    directory scans. Committed buckets are never touched, so the action is
+    safe to run concurrently with readers.
+
+    Driver state is O(#partition dirs) names; the listing and deletes go
+    through the Hadoop FS layer (``fsutil``), so the same call works on
+    hdfs:// and s3a:// stores.
+    """
+    from yckg_spark.fsutil import delete, exists, list_names
+
+    m = read_manifest(spark, out_dir)
+    committed: set[int] = set()
+    if m is not None:
+        committed = {r["bucket"] for r in m.select("bucket").collect()}
+    removed: list[str] = []
+    for sub in ("triples", "errors"):
+        base = os.path.join(out_dir, sub)
+        if not exists(spark, base):
+            continue
+        for name in list_names(spark, base):
+            if not name.startswith("bucket="):
+                continue  # _SUCCESS markers etc.
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b not in committed:
+                delete(spark, os.path.join(base, name), recursive=True)
+                removed.append(f"{sub}/{name}")
+    return {
+        "n_removed": len(removed),
+        "removed": sorted(removed),
+        "committed_buckets": len(committed),
+    }
+
+
 # ---------------------------------------------------------------------------
 # N-Triples export (K1) — the reference's one output format
 # ---------------------------------------------------------------------------
