@@ -172,3 +172,76 @@ def test_stateful_running_totals_across_restart(spark, tmp_path):
     }
     # purchase accumulated across the restart; signup untouched by batch 2
     assert latest == {"purchase": (3, 22.0), "signup": (1, 1.0)}
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _write_docs(spark, rows, path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _, _ in rows], pa.int64()),
+            "ingest_ts": pa.array(
+                [dt.datetime.fromisoformat(ts) for _, ts, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "text": pa.array([t for _, _, t in rows]),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_dedup_on_ingest_across_restarts_matches_batch(spark, tmp_path):
+    """First-arrival-wins content dedup across two checkpointed AvailableNow
+    drains: a duplicate landing in a LATER micro-batch (within the
+    watermark) is dropped via the restored state; normalization-equal
+    variants collapse; the surviving key set equals the batch path's."""
+    from yckg_spark.streaming.dedup_stream import (
+        dedup_on_ingest,
+        start_dedup_ingest,
+        with_content_hash,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    batch_a = [
+        (1, "2024-01-01T10:00:00", "alpha beta gamma"),
+        (2, "2024-01-01T10:01:00", "alpha  BETA gamma"),  # normalizes equal to 1
+        (3, "2024-01-01T10:02:00", "delta epsilon"),
+    ]
+    batch_b = [
+        (4, "2024-01-01T10:10:00", "delta epsilon"),  # dup of 3, later batch
+        (5, "2024-01-01T10:11:00", "zeta eta"),
+    ]
+
+    _write_docs(spark, batch_a, str(land / "a.parquet"))
+    start_dedup_ingest(spark, str(land), out, ckpt, DOC_SCHEMA).awaitTermination()
+    _write_docs(spark, batch_b, str(land / "b.parquet"))
+    start_dedup_ingest(spark, str(land), out, ckpt, DOC_SCHEMA).awaitTermination()
+
+    got = spark.read.parquet(out)
+    kept_ids = {r.doc_id for r in got.collect()}
+    assert kept_ids == {1, 3, 5}  # first arrival per content, cross-batch dup dropped
+    assert got.count() == got.select("content_hash").distinct().count()
+
+    # batch parity on the same union: same surviving key set
+    all_docs = spark.createDataFrame(
+        [(i, ts, t) for i, ts, t in batch_a + batch_b], "doc_id long, ingest_ts string, text string"
+    ).withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp"))
+    batch_kept = dedup_on_ingest(with_content_hash(all_docs))
+    assert {r.content_hash for r in batch_kept.select("content_hash").collect()} == {
+        r.content_hash for r in got.select("content_hash").collect()
+    }
