@@ -2295,6 +2295,36 @@ def _oracle_url_canonicalize():
     )
 
 
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl summary over the synthesized messy URLs: doc count,
+    distinct raw paths, size mass. Host key = lowercased authority minus
+    userinfo/port; one shuffle, paths deduped map-side."""
+    from yckg_spark.operators.urls import host_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return host_stats(d.select(_messy_url().alias("url"), "n_chars"))
+
+
+def _oracle_host_stats():
+    return f"""
+WITH inj AS (SELECT trim({_MESSY_URL_SQL}) AS u, n_chars FROM documents),
+t AS (
+  SELECT regexp_replace(regexp_replace(
+           lower(coalesce(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')),
+           '^[^@]*@', ''), ':[0-9]+$', '') AS host,
+         coalesce(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+         n_chars
+  FROM inj
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4) AS mean_chars
+FROM t GROUP BY host
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-keyed dedup over the canonicalized messy URLs: one row per
     canonical URL with the kept doc (largest n_chars, ties to smallest id)
@@ -2389,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
+        "host_stats": q_host_stats,
         "kg_build": q_kg_build,
     }
 
@@ -2456,6 +2487,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _ORACLE_TRIANGLES,
         "url_canonicalize": _oracle_url_canonicalize(),
         "url_dedup": _oracle_url_dedup(),
+        "host_stats": _oracle_host_stats(),
         "geocode_join": _ORACLE_GEOCODE,
         "simhash": _ORACLE_SIMHASH,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,

@@ -101,3 +101,36 @@ def test_url_dedup_null_order_loses(spark):
     )
     (row,) = url_dedup(df).collect()
     assert row["keep_id"] == 2 and row["n_dups"] == 2
+
+
+def test_host_of_edges(spark):
+    from yckg_spark.operators.urls import host_of
+
+    cases = [
+        ("HTTP://User:Pw@WWW.Ex.COM:8080/a", "www.ex.com"),
+        ("https://Ex.org", "ex.org"),
+        ("http://[::1]:8080/x", "[::1]"),
+        ("http://[2001:db8::1]/x", "[2001:db8::1]"),
+        ("relative/path", ""),
+        ("  https://pad.me/  ", "pad.me"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(host_of(F.col("url"))).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_host_stats_grouping_and_paths(spark):
+    from yckg_spark.operators.urls import host_stats
+
+    rows = [
+        (1, "http://a.com/x", 10),
+        (2, "HTTP://A.COM:80/x", 20),   # same host, same path
+        (3, "http://a.com/y?q=1", 30),  # same host, new path (query excluded)
+        (4, "no-scheme", 5),            # relative -> host ''
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    got = {r.host: (r.n_docs, r.n_paths, r.total_chars, r.mean_chars)
+           for r in host_stats(df).collect()}
+    assert got["a.com"] == (3, 2, 60, 20.0)
+    assert got[""] == (1, 1, 5, 5.0)
+    assert sum(v[0] for v in got.values()) == len(rows)  # doc count conserved

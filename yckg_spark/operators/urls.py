@@ -74,6 +74,49 @@ def canonicalize_url(col: Column) -> Column:
     )
 
 
+def host_of(col: Column) -> Column:
+    """Lowercased host of an absolute URL, userinfo and port stripped
+    ('' for a relative URL — no authority to extract). A bracketed IPv6
+    authority keeps its brackets; only a trailing ``:digits`` port is
+    removed, so the address's own colons are safe."""
+    hostport = F.lower(F.regexp_extract(F.trim(col), _HOSTPORT_RE, 1))
+    return F.regexp_replace(
+        F.regexp_replace(hostport, r"^[^@]*@", ""), r":[0-9]+$", ""
+    )
+
+
+def host_stats(
+    df,
+    url_col: str = "url",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-host crawl summary — the table a crawl scheduler / per-source
+    cap reads: (host, n_docs, n_paths, total_chars, mean_chars), where
+    ``n_paths`` counts distinct raw paths (how much of the site the crawl
+    actually covers vs re-fetching one page). Relative URLs group under
+    host '' rather than vanishing, so the total doc count is conserved.
+
+    Scale shape: the corpus is projected to (host, path, size) before
+    anything moves; the distinct-path count is Spark's two-phase
+    count_distinct (partial de-dup on (host, path) map-side, then the
+    merge keyed on host) — the host key is exactly the skewed key of a
+    web crawl, which is AQE skew-agg territory, and nothing wider than a
+    path string ever shuffles.
+    """
+    u = F.trim(F.col(url_col))
+    slim = df.select(
+        host_of(F.col(url_col)).alias("host"),
+        F.regexp_extract(u, _PATH_RE, 1).alias("_path"),
+        F.col(size_col).cast("long").alias("_size"),
+    )
+    return slim.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.col("_path")).cast("long").alias("n_paths"),
+        F.sum("_size").alias("total_chars"),
+        F.round(F.avg("_size"), 4).alias("mean_chars"),
+    )
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",
