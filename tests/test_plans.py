@@ -404,3 +404,68 @@ def test_span_dedup_counting_exchange_is_hashes_only(spark):
         inp = next((ln for ln in lines if ln.startswith("Input")), "")
         assert "text#" not in inp and "tok#" not in inp, block
     assert gh_exchanges >= 1, plan
+
+
+def test_bm25_filters_query_terms_before_exchange_and_broadcasts(spark):
+    """The query-vocabulary IN-filter must sit below the first exchange
+    (only matching (id, term) pairs shuffle), the df/normalizer joins must
+    broadcast, and the k-cut must plan as TakeOrderedAndProject."""
+    from yckg_spark.operators.text_analysis import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta spark merge %d" % i) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(bm25_topk(docs, ["spark", "merge"], k=3))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # the vocabulary IN-filter exists as a Filter condition on the term
+    # (i.e. it is applied in the explode stage, which by construction sits
+    # below the tf groupBy's exchange — non-matching terms never shuffle)
+    assert "IN (spark,merge)" in plan, plan
+
+
+def test_link_prediction_joins_ids_only_no_cartesian(spark):
+    """Both wedge joins key on node ids; no cartesian/nested-loop join and
+    no text/payload columns anywhere in the plan."""
+    from yckg_spark.operators.graph import link_prediction
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"])
+    plan = _plan(link_prediction(e))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mixture_sample_broadcasts_rates_big_side_not_shuffled(spark):
+    """The per-stratum threshold table joins back as a broadcast — the
+    corpus itself must not hash-exchange for the final filter join."""
+    from yckg_spark.operators.selection import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t%d" % i, "s%d" % (i % 3), 10 + i) for i in range(30)],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    plan = _plan(mixture_sample(docs, {"s0": 0.5, "s1": 0.5}, weight_col="n_chars"))
+    assert "BroadcastHashJoin" in plan, plan
+    # the only hash exchanges belong to the tiny per-stratum sum agg —
+    # none may carry the text column
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        args = seg.split("\n", 1)[0]
+        assert "text" not in args, plan
+
+
+def test_host_stats_single_host_exchange_no_url_after_agg(spark):
+    """One wide exchange keyed on host (the partial-agg pair for the
+    distinct-path count is keyed (host, path)); no rangepartitioning, no
+    cartesian."""
+    from yckg_spark.operators.urls import host_stats
+
+    docs = spark.createDataFrame(
+        [(i, "http://h%d.com/p%d" % (i % 3, i), 10 + i) for i in range(12)],
+        ["doc_id", "url", "n_chars"],
+    )
+    plan = _plan(host_stats(docs))
+    assert "rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
