@@ -20,7 +20,17 @@ input deterministically (no external data) so every check is exact.
     distinct per-base-doc result set must equal the base result exactly;
   * lm_score, 500k docs: replicas of the same base doc must all get the
     same (n_tokens, avg_logprob, ppl) — one distinct stat triple per base
-    doc.
+    doc;
+  * link_prediction, 2M-node ring+2: every pair at ring distance 3 shares
+    exactly the 2 middles between them (aa = 2/ln 4), distance 4 exactly 1
+    (aa = 1/ln 4) -> exactly N rows of each kind, nothing else;
+  * bm25_topk, 500k docs: replicas share (tf, dl) so each base doc's
+    replicas carry ONE exact score; the top-1000 is complete 100-replica
+    groups with at most one partial group at the cut;
+  * mixture_sample, 500k docs x 8 strata: binding stratum keeps all,
+    every stratum within 5 sigma of its computed rate;
+  * host_stats, 500k synthesized URLs: exactly 1000 hosts x 500 docs x
+    250 distinct paths each.
 
 Writes BENCH/temporal_graph_stretch.json.
 
@@ -268,6 +278,36 @@ def main() -> None:
         tc["n"] == args.nodes and tc["lo"] == tc["hi"] == 3
     )
 
+    # ---- link prediction on the same 2M-node ring+2 graph: every node
+    # pair at ring distance 3 shares EXACTLY the two middles between them
+    # (aa = 2/ln 4), every pair at distance 4 exactly one (aa = 1/ln 4),
+    # nothing else is unlinked with a common neighbor -> exactly N rows of
+    # each kind
+    import math
+
+    from yckg_spark.operators.graph import link_prediction
+
+    lp = timed(
+        samples, "link_prediction",
+        lambda: link_prediction(ring_chord)
+        .groupBy("n_common")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("adamic_adar").alias("lo"),
+            F.max("adamic_adar").alias("hi"),
+        ).collect(),
+        args.reps,
+    )
+    by_common = {r["n_common"]: r for r in lp}
+    aa1, aa2 = round(1 / math.log(4), 6), round(2 / math.log(4), 6)
+    checks["linkpred_ring_exact_distance_3_and_4"] = (
+        set(by_common) == {1, 2}
+        and by_common[1]["n_pairs"] == args.nodes
+        and by_common[2]["n_pairs"] == args.nodes
+        and by_common[1]["lo"] == by_common[1]["hi"] == aa1
+        and by_common[2]["lo"] == by_common[2]["hi"] == aa2
+    )
+
     # ---- replicate sf0.1 documents 100x for tfidf / lm invariants
     t0 = time.time()
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
@@ -318,6 +358,93 @@ def main() -> None:
         lm_stats["n_distinct"] == n_base and lm_stats["n_base"] == n_base
     )
 
+    # ---- bm25 over the 500k replicated docs: replicas share (tf, dl) and
+    # idf/avgdl are corpus-level, so every replica of a base doc gets ONE
+    # exact score; ordering is (score desc, id asc) and replica ids of a
+    # base doc are consecutive, so the top-k consists of complete
+    # 100-replica groups with a single partial group only at the k cut
+    from yckg_spark.operators.text_analysis import bm25_topk
+
+    k_lp = 10 * args.replicas
+    bm = timed(
+        samples, "bm25_top1000",
+        lambda: bm25_topk(docs, ["spark", "merge", "vector"], k=k_lp)
+        .select((F.col("doc_id") / args.replicas).cast("bigint").alias("base_id"),
+                "bm25")
+        .groupBy("base_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("bm25").alias("n_scores"))
+        .collect(),
+        args.reps,
+    )
+    n_partial = sum(1 for r in bm if r["n"] != args.replicas)
+    checks["bm25_replica_groups_single_score"] = all(r["n_scores"] == 1 for r in bm)
+    checks["bm25_topk_cuts_at_most_one_group"] = (
+        sum(r["n"] for r in bm) == k_lp and n_partial <= 1
+    )
+
+    # ---- mixture_sample over the 500k docs (8 synthetic strata, weight =
+    # text length): the binding stratum keeps every doc; every stratum's
+    # kept fraction lands within 5 sigma of its computed rate; the draw is
+    # exactly reproducible
+    from yckg_spark.operators.selection import mixture_sample
+
+    sdocs = docs.select(
+        "doc_id", F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string")).alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    targets = {"s0": 0.30, "s1": 0.20, "s2": 0.20, "s3": 0.30}
+    mx = timed(
+        samples, "mixture_sample",
+        lambda: mixture_sample(sdocs, targets, weight_col="n_chars")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("kept")).collect(),
+        args.reps,
+    )
+    kept = {r["source"]: r["kept"] for r in mx}
+    in_src = {r["source"]: r["n"] for r in
+              sdocs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    w = {r["source"]: r["w"] for r in
+         sdocs.groupBy("source").agg(F.sum("n_chars").alias("w")).collect()}
+    lam = min(w[s] / t for s, t in targets.items())
+    ok = set(kept) == set(targets)
+    for s, t in targets.items():
+        rate = min(1.0, lam * t / w[s])
+        sigma = (in_src[s] * rate * (1 - rate)) ** 0.5
+        ok = ok and abs(kept[s] - in_src[s] * rate) <= max(5 * sigma, 1)
+    binding = min(targets, key=lambda s: w[s] / targets[s])
+    checks["mixture_binding_keeps_all_others_in_5sigma"] = (
+        ok and kept[binding] == in_src[binding]
+    )
+
+    # ---- host_stats over 500k synthesized URLs: host = id % 1000 (500
+    # docs each), path index = (id // 1000) % 250 -> EXACTLY 250 distinct
+    # paths per host
+    from yckg_spark.operators.urls import host_stats
+
+    n_hosts, n_paths_per_host = 1000, 250
+    urls = spark.range(args.replicas * n_base).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % n_hosts).cast("string"),
+            F.lit(".example.com/p/"),
+            ((F.col("id") / n_hosts).cast("bigint") % n_paths_per_host).cast("string"),
+        ).alias("url"),
+        (F.col("id") % 91 + 10).alias("n_chars"),
+    ).repartition(int(CPUS))
+    hs = timed(
+        samples, "host_stats",
+        lambda: host_stats(urls).agg(
+            F.count(F.lit(1)).alias("hosts"),
+            F.min("n_docs").alias("d_lo"), F.max("n_docs").alias("d_hi"),
+            F.min("n_paths").alias("p_lo"), F.max("n_paths").alias("p_hi"),
+        ).collect()[0],
+        args.reps,
+    )
+    docs_per_host = args.replicas * n_base // n_hosts
+    checks["host_stats_exact_docs_and_paths_per_host"] = (
+        hs["hosts"] == n_hosts
+        and hs["d_lo"] == hs["d_hi"] == docs_per_host
+        and hs["p_lo"] == hs["p_hi"] == min(n_paths_per_host, docs_per_host)
+    )
+
     mins = {k: min(v) for k, v in samples.items()}
     out.update(
         {
@@ -334,8 +461,16 @@ def main() -> None:
                 mod_edges.count() / mins["pagerank_modular_3iter"]
             ),
             "docs_per_s": {
-                k: round(n_docs / mins[k]) for k in ("tfidf_top3", "lm_train_and_score")
+                k: round(n_docs / mins[k])
+                for k in (
+                    "tfidf_top3",
+                    "lm_train_and_score",
+                    "bm25_top1000",
+                    "mixture_sample",
+                    "host_stats",
+                )
             },
+            "pairs_per_s_linkpred": round(2 * args.nodes / mins["link_prediction"]),
             "checks": checks,
             "all_checks_pass": all(checks.values()),
         }

@@ -2325,6 +2325,39 @@ FROM t GROUP BY host
 """
 
 
+def q_url_filter(spark, sf_dir):
+    """Crawl-hygiene blocklist pass over the messy URLs: two blocked
+    domains (one as a parent-domain suffix) + one regex — the literal
+    broadcast path, a single narrow zero-shuffle filter."""
+    from yckg_spark.operators.urls import url_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return url_filter(
+        d.select("doc_id", _messy_url().alias("url")),
+        blocked_hosts=("www.example3.com", "example5.com"),
+        blocked_url_res=(r"fbclid=",),
+    )
+
+
+def _oracle_url_filter():
+    return f"""
+WITH inj AS (SELECT doc_id, trim({_MESSY_URL_SQL}) AS u FROM documents),
+h AS (
+  SELECT doc_id, u,
+         regexp_replace(regexp_replace(
+           lower(coalesce(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')),
+           '^[^@]*@', ''), ':[0-9]+$', '') AS host
+  FROM inj
+),
+s AS (SELECT doc_id, u, host, string_split(host, '.') AS parts FROM h)
+SELECT doc_id, u AS url FROM s
+WHERE (host = '' OR len(list_filter(
+        [array_to_string(parts[i:], '.') for i in generate_series(1, len(parts))],
+        x -> x IN ('www.example3.com', 'example5.com'))) = 0)
+  AND NOT regexp_matches(u, '(?:fbclid=)')
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-keyed dedup over the canonicalized messy URLs: one row per
     canonical URL with the kept doc (largest n_chars, ties to smallest id)
@@ -2420,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "host_stats": q_host_stats,
+        "url_filter": q_url_filter,
         "kg_build": q_kg_build,
     }
 
@@ -2488,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _oracle_url_canonicalize(),
         "url_dedup": _oracle_url_dedup(),
         "host_stats": _oracle_host_stats(),
+        "url_filter": _oracle_url_filter(),
         "geocode_join": _ORACLE_GEOCODE,
         "simhash": _ORACLE_SIMHASH,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,

@@ -134,3 +134,46 @@ def test_host_stats_grouping_and_paths(spark):
     assert got["a.com"] == (3, 2, 60, 20.0)
     assert got[""] == (1, 1, 5, 5.0)
     assert sum(v[0] for v in got.values()) == len(rows)  # doc count conserved
+
+
+def test_url_filter_suffix_regex_and_relative(spark):
+    from yckg_spark.operators.urls import url_filter
+
+    rows = [
+        (1, "http://a.example.com/x"),      # blocked: parent-domain suffix
+        (2, "http://example.com/x"),        # blocked: exact
+        (3, "http://notexample.com/x"),     # kept: suffix match is dotwise
+        (4, "http://ok.org/spam/page"),     # blocked: regex
+        (5, "http://ok.org/fine"),          # kept
+        (6, "relative/no-host"),            # kept: nothing to judge
+        (7, "HTTP://EXAMPLE.COM/upper"),    # blocked: case-insensitive host
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = {
+        r.doc_id
+        for r in url_filter(
+            df, blocked_hosts=("example.com",), blocked_url_res=(r"/spam/",)
+        ).collect()
+    }
+    assert kept == {3, 5, 6}
+
+
+def test_url_filter_join_path_matches_literal_path(spark):
+    from yckg_spark.operators.urls import url_filter
+
+    rows = [(i, "http://h%d.site%d.com/p" % (i % 5, i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    hosts = ("site3.com", "h2.site5.com")
+    lit_kept = {r.doc_id for r in url_filter(df, blocked_hosts=hosts).collect()}
+    join_kept = {
+        r.doc_id
+        for r in url_filter(df, blocked_hosts=hosts, broadcast_limit=1).collect()
+    }
+    assert join_kept == lit_kept and 0 < len(lit_kept) < len(rows)
+
+
+def test_url_filter_noop_without_lists(spark):
+    from yckg_spark.operators.urls import url_filter
+
+    df = spark.createDataFrame([(1, "http://x.com/")], ["doc_id", "url"])
+    assert url_filter(df).count() == 1
