@@ -2380,6 +2380,116 @@ def _oracle_url_dedup():
     )
 
 
+def q_pmi_pairs(spark, sf_dir):
+    """PMI token-association table with document-frequency-pruned
+    broadcast vocabulary — the collocation statistics a corpus-analysis
+    pass derives before phrase mining (Church & Hanks 1990)."""
+    from yckg_spark.operators.text_analysis import pmi_pairs
+
+    return pmi_pairs(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_PMI_PAIRS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+vocab AS (
+  SELECT term, count(*) AS df_t
+  FROM dt GROUP BY term HAVING count(*) >= 2
+  ORDER BY df_t DESC, term ASC LIMIT 200
+),
+pruned AS (SELECT dt.doc_id, dt.term, v.df_t FROM dt JOIN vocab v USING (term)),
+n AS (SELECT count(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.term AS t_a, b.term AS t_b, count(*) AS n_ab,
+         max(a.df_t) AS n_a, max(b.df_t) AS n_b
+  FROM pruned a JOIN pruned b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT t_a, t_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(ln(n_ab * CAST((SELECT n_docs FROM n) AS DOUBLE) / (n_a * n_b)), 6) AS pmi
+FROM pairs
+"""
+
+
+def q_quality_buckets(spark, sf_dir):
+    """CCNet-style per-source head/middle/tail quality tiers via a
+    deterministic per-group ntile (quality desc, doc_id tiebreak)."""
+    from yckg_spark.operators.selection import quality_buckets
+
+    return quality_buckets(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_QUALITY_BUCKETS = f"""
+WITH docs AS (
+  SELECT doc_id, source, text,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, t -> list_contains({_SW_EN}, t))) / greatest(len(toks), 1) AS sw_en,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+    ELSE 0 END AS punct_r,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)
+    ELSE 0 END AS digit_r
+  FROM docs
+),
+q AS (
+  SELECT doc_id, source,
+    round(least(n_tokens / 64.0, 1.0) * 0.4
+        + least(sw_en * 4, 1.0) * 0.3
+        + (1 - least(punct_r * 4, 1.0)) * 0.2
+        + (1 - least(digit_r * 4, 1.0)) * 0.1, 6) AS quality
+  FROM feats
+),
+r AS (
+  SELECT doc_id, source, quality,
+         ntile(3) OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS tile
+  FROM q
+)
+SELECT doc_id, source, quality,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """Events landing inside per-user 30-minute post-purchase windows —
+    the binned range join (equi-join on (user, epoch bin) + exact window
+    predicate) that replaces Spark's only native option for a non-equi
+    theta join, BroadcastNestedLoopJoin."""
+    from yckg_spark.operators.temporal import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    iv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    pts = e.select("user_id", "event_id", "event_type", "ts")
+    out = interval_join(pts, iv, point_ts="ts", keys=["user_id"], bin_width=1800)
+    return out.select("interval_id", "event_id", "event_type", "user_id")
+
+
+_ORACLE_INTERVAL_JOIN = """
+WITH iv AS (
+  SELECT user_id, event_id AS interval_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT iv.interval_id, p.event_id, p.event_type, iv.user_id
+FROM iv JOIN events p
+  ON p.user_id = iv.user_id AND p.ts >= iv.s AND p.ts < iv.e
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_customer": q_kg_triples_customer,
@@ -2454,6 +2564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "host_stats": q_host_stats,
         "url_filter": q_url_filter,
+        "pmi_pairs": q_pmi_pairs,
+        "quality_buckets": q_quality_buckets,
+        "interval_join": q_interval_join,
         "kg_build": q_kg_build,
     }
 
@@ -2530,6 +2643,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_representatives": _ORACLE_DEDUP_REPRESENTATIVES,
         "dedup_best": _ORACLE_DEDUP_BEST,
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
+        "pmi_pairs": _ORACLE_PMI_PAIRS,
+        "quality_buckets": _ORACLE_QUALITY_BUCKETS,
+        "interval_join": _ORACLE_INTERVAL_JOIN,
         "kg_build": _ORACLE_KG_BUILD,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),

@@ -263,3 +263,56 @@ def test_mixture_sample_doc_count_weights_and_validation(docs):
         mixture_sample(docs, {})
     with _pytest.raises(ValueError):
         mixture_sample(docs, {"src0": 0.0})
+
+
+# -- quality_buckets ---------------------------------------------------------
+
+
+def test_quality_buckets_rank_equal_tiers_and_monotone(docs):
+    from yckg_spark.operators.selection import quality_buckets
+
+    out = quality_buckets(docs).collect()
+    assert len(out) == docs.count()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in rows:
+            sizes[r["bucket"]] += 1
+        # ntile: tier sizes differ by at most one, earlier tiers larger
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert sizes["head"] >= sizes["middle"] >= sizes["tail"]
+        # quality ordering: every head doc >= every middle >= every tail
+        qs = {b: [r["quality"] for r in rows if r["bucket"] == b] for b in sizes}
+        if qs["head"] and qs["middle"]:
+            assert min(qs["head"]) >= max(qs["middle"])
+        if qs["middle"] and qs["tail"]:
+            assert min(qs["middle"]) >= max(qs["tail"])
+
+
+def test_quality_buckets_threshold_monotone_and_total(docs):
+    from yckg_spark.operators.selection import quality_buckets
+
+    out = quality_buckets(docs, by="threshold").collect()
+    assert len(out) == docs.count()
+    assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}
+    rank = {"head": 0, "middle": 1, "tail": 2}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        # threshold cuts preserve the quality order: a higher-quality doc
+        # never lands in a strictly worse bucket than a lower-quality one
+        rows = sorted(rows, key=lambda r: (-r["quality"], r["doc_id"]))
+        tiers = [rank[r["bucket"]] for r in rows]
+        assert tiers == sorted(tiers)
+
+
+def test_quality_buckets_rejects_unknown_strategy(docs):
+    import pytest as _pytest
+
+    from yckg_spark.operators.selection import quality_buckets
+
+    with _pytest.raises(ValueError):
+        quality_buckets(docs, by="nope")

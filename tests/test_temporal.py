@@ -278,3 +278,80 @@ def test_funnel_and_cohort_ignore_null_timestamps(spark):
     assert [(str(r["cohort_week"]), r["week_n"], r["n_users"]) for r in cells] == [
         ("2024-01-01", 0, 1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+
+def _interval_frames(spark):
+    # pseudo-random but deterministic points/intervals across two keys,
+    # with windows sized to span 1-3 bins at bin_width=60
+    pts, ivs = [], []
+    for i in range(200):
+        k = "a" if (i * 7) % 3 else "b"
+        pts.append((i, k, _ts((i * 13) % 240)))
+    for j in range(30):
+        k = "a" if j % 2 else "b"
+        s = _ts((j * 17) % 220)
+        ivs.append((1000 + j, k, s, s + timedelta(minutes=1 + (j % 3))))
+    points = spark.createDataFrame(pts, ["pid", "k", "ts"])
+    intervals = spark.createDataFrame(ivs, ["iid", "k", "start", "end"])
+    return points, intervals
+
+
+def test_interval_join_matches_naive_theta_join(spark):
+    from yckg_spark.operators.temporal import interval_join
+
+    points, intervals = _interval_frames(spark)
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, keys=["k"], bin_width=60
+        ).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.k") == F.col("i.k"))
+            & (F.col("i.start") <= F.col("p.ts"))
+            & (F.col("p.ts") < F.col("i.end")),
+        )
+        .collect()
+    }
+    assert got == want and len(want) >= 20
+
+
+def test_interval_join_half_open_boundaries(spark):
+    from yckg_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(1, _ts(10)), (2, _ts(20)), (3, _ts(15))], ["pid", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [(9, _ts(10), _ts(20))], ["iid", "start", "end"]
+    )
+    got = sorted(
+        r["pid"]
+        for r in interval_join(points, intervals, bin_width=300).collect()
+    )
+    assert got == [1, 3]  # start inclusive, end exclusive
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """The whole point: the range join must lower to a hash/merge
+    EQUI-join on (key, bin), never BroadcastNestedLoopJoin/Cartesian."""
+    from yckg_spark.operators.temporal import interval_join
+
+    points, intervals = _interval_frames(spark)
+    plan = (
+        interval_join(points, intervals, keys=["k"], bin_width=60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -217,3 +217,50 @@ def test_bm25_plans_take_ordered(spark):
         _docs(spark, [(1, "spark")]), ["spark"], k=5
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# -- pmi_pairs ----------------------------------------------------------------
+
+
+def test_pmi_pairs_hand_computed(spark):
+    from math import log
+
+    from yckg_spark.operators.text_analysis import pmi_pairs
+
+    # 4 docs; "red blue" co-occur twice, "red green" once (below min_pair)
+    df = spark.createDataFrame(
+        [
+            (1, "red blue car"),
+            (2, "red blue sky"),
+            (3, "red green"),
+            (4, "blue green"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["t_a"], r["t_b"]): (r["n_ab"], r["pmi"])
+        for r in pmi_pairs(df, min_df=2, min_pair=2).collect()
+    }
+    # df: red=3 blue=3 green=2; car/sky have df 1 -> pruned from vocab
+    assert ("blue", "red") in out
+    n_ab, pmi = out[("blue", "red")]
+    assert n_ab == 2
+    assert pmi == round(log(2 * 4 / (3 * 3)), 6)
+    # green co-occurs once with each of red/blue -> below min_pair
+    assert ("green", "red") not in out and ("blue", "green") not in out
+
+
+def test_pmi_pairs_vocab_cap_is_deterministic(spark):
+    from yckg_spark.operators.text_analysis import pmi_pairs
+
+    # every token has identical df -> the cap must cut lexicographically
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{j:02d}" for j in range(10))) for i in range(3)],
+        ["doc_id", "text"],
+    )
+    out = pmi_pairs(df, min_df=2, vocab_size=4, min_pair=2).collect()
+    toks = {r["t_a"] for r in out} | {r["t_b"] for r in out}
+    assert toks == {"t00", "t01", "t02", "t03"}
+    # all pairs co-occur in all 3 docs of 3 total -> pmi = ln(3*3/(3*3)) = 0
+    assert all(r["pmi"] == 0.0 and r["n_ab"] == 3 for r in out)
+    assert len(out) == 6  # C(4,2)

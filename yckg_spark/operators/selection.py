@@ -342,3 +342,70 @@ def chunk_docs(
             ).alias("chunk_text"),
         )
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    by: str = "rank",
+) -> DataFrame:
+    """CCNet-style per-source quality bucketing: score every document,
+    then split each source into equal-size quality tiers (head = best) —
+    the table a mixing stage reads to upsample head and drop tail
+    (Wenzek et al. 2020 bucket their corpus by per-language LM
+    perplexity thirds; the score here is the engine's deterministic
+    quality_score).
+
+    Returns (id, group, quality, bucket).
+
+    Two strategies, same output contract:
+
+    - ``by="rank"`` (default, exactly equal tiers): ntile(len(labels))
+      over a per-group window ordered (quality desc, id asc) — a total
+      order, so ties are deterministic. One exchange + per-group sort;
+      scales like any range-partitioned sort unless a single group is
+      corpus-sized.
+    - ``by="threshold"``: per-group approximate quantile cut points
+      (percentile_approx, bounded-memory t-digest) broadcast back and
+      compared — no per-group sort at all, the scale path for
+      billion-document single sources, at declared boundary fuzziness.
+    """
+    from yckg_spark.operators.text_analysis import quality_score
+
+    n = len(labels)
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    scored = quality_score(df, text_col).select(id_col, group_col, "quality")
+    if by == "rank":
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("quality").desc(), F.col(id_col).asc()
+        )
+        return scored.select(
+            id_col,
+            group_col,
+            "quality",
+            F.element_at(label_arr, F.ntile(n).over(w)).alias("bucket"),
+        )
+    if by == "threshold":
+        cuts = scored.groupBy(group_col).agg(
+            F.percentile_approx(
+                "quality", [1 - i / n for i in range(1, n)], 10_000
+            ).alias("cuts")
+        )
+        joined = scored.join(F.broadcast(cuts), group_col)
+        # bucket i (1-based) iff quality >= cuts[i-1], falling through to
+        # the last label; aggregate counts how many cut points it clears.
+        tier = F.lit(n) - F.aggregate(
+            F.col("cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("quality") >= c, 1).otherwise(0),
+        )
+        return joined.select(
+            id_col,
+            group_col,
+            "quality",
+            F.element_at(label_arr, tier.cast("int")).alias("bucket"),
+        )
+    raise ValueError(f"unknown strategy {by!r} (expected 'rank' or 'threshold')")

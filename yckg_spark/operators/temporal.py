@@ -249,3 +249,56 @@ def cohort_retention(
         .groupBy("cohort_week", "week_n")
         .agg(F.count_distinct(user_col).alias("n_users"))
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    keys: Sequence[str] = (),
+    bin_width: int = 3600,
+) -> DataFrame:
+    """Binned interval (range) join: every point row paired with every
+    interval row of the same key whose half-open window contains it
+    (``start <= ts < end``) — "which events fall inside which sessions /
+    outage windows / promo periods", the range join Spark has no native
+    operator for.
+
+    The naive formulation is a non-equi theta join — Spark can only
+    execute that as BroadcastNestedLoopJoin (all-pairs per key). This is
+    the standard binning recipe instead: intervals explode to the fixed
+    -width epoch bins they overlap (``sequence(floor(s/W), floor(e/W))``),
+    each point maps to exactly ONE bin, and the join becomes a plain
+    hash-partitionable equi-join on (keys..., bin) followed by the exact
+    window predicate. No duplicates are possible — an interval covers
+    each bin once and a point lives in one bin — so there is no dedup
+    pass. Pick ``bin_width`` near the typical interval length: the
+    explode fanout is ceil(len/W)+1 ≈ 2 rows per interval, and only the
+    interval's (keys, start, end, payload) replicate, never the points.
+    Skewed keys are ordinary AQE skew-join territory because the join
+    key is (key, bin), which time itself spreads.
+    """
+    ks = list(keys)
+
+    def epoch(df: DataFrame, col_name: str) -> Column:
+        # TIMESTAMP_NTZ has no direct long cast; route it through the
+        # session-zone timestamp (Java's gap/overlap resolution is
+        # monotone non-decreasing, so bin containment is preserved).
+        c = F.col(col_name)
+        if df.schema[col_name].dataType.typeName().startswith("timestamp"):
+            c = c.cast("timestamp_ltz")
+        return c.cast("long")
+
+    p_bin = F.floor(epoch(points, point_ts) / bin_width)
+    i_bins = F.sequence(
+        F.floor(epoch(intervals, start_col) / bin_width),
+        F.floor(epoch(intervals, end_col) / bin_width),
+    )
+    p = points.withColumn("_bin", p_bin)
+    iv = intervals.withColumn("_bin", F.explode(i_bins))
+    joined = p.join(iv, ks + ["_bin"]).filter(
+        (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_bin")

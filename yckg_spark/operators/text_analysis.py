@@ -339,3 +339,80 @@ def length_stats(
         name = "p" + f"{p * 100:g}".replace(".", "_")
         aggs.append(F.round(F.percentile(value_col, F.lit(p)), 4).alias(name))
     return df.groupBy(group_col).agg(*aggs)
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    vocab_size: int = 200,
+    min_pair: int = 2,
+) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence within
+    documents: (t_a, t_b, n_ab, pmi) for every vocabulary pair that
+    co-occurs in >= ``min_pair`` documents, with
+    ``pmi = ln(n_ab * N / (n_a * n_b))`` over document counts.
+
+    The classic collocation/association table (Church & Hanks 1990) a
+    corpus-analysis pass derives before phrase mining or embedding
+    evaluation. The reference pipeline has no corpus-statistics stage;
+    this is a large-scale-pipeline extension per the build brief.
+
+    Distributed shape — the naive per-document token self-join is
+    quadratic in document length, so the vocabulary is pruned FIRST:
+    document frequencies are a map-side-partial count over distinct
+    (doc, token) pairs, the top-``vocab_size`` (df desc, token asc —
+    deterministic under ties) survivors with df >= ``min_df`` form a
+    broadcast vocabulary, and only vocabulary tokens enter the
+    pair-generation self-join on doc_id. That bounds per-document
+    fanout at vocab_size^2/2 and keeps the only wide exchange the
+    final count keyed on the (t_a, t_b) pair — document text never
+    rides a shuffle. N rides a broadcast one-row cross join so the
+    plan stays lazy end-to-end.
+    """
+    dt = _doc_terms(df, text_col, id_col).distinct()
+    vocab = (
+        dt.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .filter(F.col("df_t") >= min_df)
+        .orderBy(F.col("df_t").desc(), F.col("term").asc())
+        .limit(vocab_size)
+    )
+    pruned = dt.join(F.broadcast(vocab), "term").select(id_col, "term", "df_t")
+    a = pruned.select(
+        F.col(id_col),
+        F.col("term").alias("t_a"),
+        F.col("df_t").alias("n_a"),
+    )
+    b = pruned.select(
+        F.col(id_col),
+        F.col("term").alias("t_b"),
+        F.col("df_t").alias("n_b"),
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        a.join(b, id_col)
+        .filter(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_ab"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .filter(F.col("n_ab") >= min_pair)
+        .join(F.broadcast(n_docs))
+        .select(
+            "t_a",
+            "t_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("n_docs").cast("double")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
