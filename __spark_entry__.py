@@ -2490,6 +2490,98 @@ FROM iv JOIN events p
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplicate-overlap matrix (all pairs, zero-overlap
+    included) over normalized-text md5 fingerprint sets."""
+    from yckg_spark.operators.dedup import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_SOURCE_OVERLAP = """
+WITH fp AS (
+  SELECT DISTINCT source AS g,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+sizes AS (SELECT g, count(*) AS n FROM fp GROUP BY g),
+inter AS (
+  SELECT a.g AS ga, b.g AS gb, count(*) AS nc
+  FROM fp a JOIN fp b ON a.h = b.h AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT sa.g AS source_a, sb.g AS source_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(coalesce(i.nc, 0) AS BIGINT) AS n_common,
+       round(CAST(coalesce(i.nc, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(i.nc, 0)), 6) AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.g < sb.g
+LEFT JOIN inter i ON i.ga = sa.g AND i.gb = sb.g
+"""
+
+
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means assignment over the embeddings table
+    (k=8, two assignment passes) — deterministic init (k smallest ids),
+    pinned-fold distances, per-iteration centroid rounding so the whole
+    loop replays bit-for-bit in the unrolled SQL oracle."""
+    from yckg_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _kmeans_oracle_sql(k: int = 8, dim: int = 64) -> str:
+    """Unrolled two-iteration Lloyd's in DuckDB SQL, mirroring
+    kmeans_assign's arithmetic exactly: left-associated term sums (same
+    order as Spark's sequential aggregate fold), round(avg, 6) centroid
+    re-sync, empty clusters coalescing to the previous centroid, ties to
+    the lowest cluster."""
+
+    def dist(e: str, c) -> str:
+        return " + ".join(
+            f"(CAST({e}[{d + 1}] AS DOUBLE) - {c(d)})"
+            f" * (CAST({e}[{d + 1}] AS DOUBLE) - {c(d)})"
+            for d in range(dim)
+        )
+
+    init_cols = ", ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) AS c{d}" for d in range(dim)
+    )
+    mean_cols = ", ".join(
+        f"round(avg(CAST(e.embedding[{d + 1}] AS DOUBLE)), 6) AS c{d}"
+        for d in range(dim)
+    )
+    coalesce_cols = ", ".join(
+        f"coalesce(m2.c{d}, i.c{d}) AS c{d}" for d in range(dim)
+    )
+    d_expr = dist("e.embedding", lambda d: f"c.c{d}")
+    return f"""
+WITH init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, {init_cols}
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+a1d AS (SELECT e.vec_id, c.cluster, {d_expr} AS dist
+        FROM embeddings e CROSS JOIN init c),
+a1 AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist ASC, cluster ASC) AS rn
+         FROM a1d) WHERE rn = 1),
+m2 AS (SELECT a1.cluster, {mean_cols}
+       FROM a1 JOIN embeddings e USING (vec_id) GROUP BY a1.cluster),
+c2 AS (SELECT i.cluster, {coalesce_cols}
+       FROM init i LEFT JOIN m2 ON m2.cluster = i.cluster),
+a2d AS (SELECT e.vec_id, c.cluster, {d_expr} AS dist
+        FROM embeddings e CROSS JOIN c2 c)
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, cluster ASC) AS rn
+  FROM a2d) WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_customer": q_kg_triples_customer,
@@ -2565,6 +2657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "url_filter": q_url_filter,
         "pmi_pairs": q_pmi_pairs,
+        "source_overlap": q_source_overlap,
+        "kmeans": q_kmeans,
         "quality_buckets": q_quality_buckets,
         "interval_join": q_interval_join,
         "kg_build": q_kg_build,
@@ -2644,6 +2738,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_best": _ORACLE_DEDUP_BEST,
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         "pmi_pairs": _ORACLE_PMI_PAIRS,
+        "source_overlap": _ORACLE_SOURCE_OVERLAP,
+        "kmeans": _kmeans_oracle_sql(),
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "kg_build": _ORACLE_KG_BUILD,

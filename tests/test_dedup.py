@@ -326,3 +326,41 @@ def test_degenerate_self_candidates_dropped(spark, docs):
     ecand = spark.createDataFrame([(1, 1), (2, 2), (2, 1)], ["id_a", "id_b"])
     eout = embedding_neardup_pairs(emb, threshold=0.0, candidates=ecand).collect()
     assert {(r["id_a"], r["id_b"]) for r in eout} == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# source_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_counts_and_jaccard(spark):
+    from yckg_spark.operators.dedup import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta", "A"),
+            (2, "gamma", "A"),
+            (3, "ALPHA   beta", "B"),  # normalizes equal to doc 1
+            (4, "delta", "B"),
+            (5, "epsilon", "C"),
+            (6, "alpha beta", "C"),
+            (7, "gamma", "C"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+        for r in source_overlap(df).collect()
+    }
+    # all 3 pairs present, including the zero-overlap scaffold rows
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert out[("A", "B")] == (2, 2, 1, round(1 / 3, 6))
+    assert out[("A", "C")] == (2, 3, 2, round(2 / 3, 6))
+    assert out[("B", "C")] == (2, 3, 1, 0.25)
+
+
+def test_source_overlap_single_source_is_empty(spark):
+    from yckg_spark.operators.dedup import source_overlap
+
+    df = spark.createDataFrame([(1, "x", "only")], ["doc_id", "text", "source"])
+    assert source_overlap(df).count() == 0

@@ -291,3 +291,55 @@ def test_k512_stored_index_roundtrip(spark, emb, tmp_path):
         tuple(r) for r in sim.ivf_topk(emb, qs, k=3, nprobe=16, centroids=cents).collect()
     )
     assert stored == mem and len(mem) == 9
+
+
+# ---------------------------------------------------------------------------
+# kmeans_assign
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_separates_two_blobs(spark):
+    from yckg_spark.operators.similarity import kmeans_assign
+
+    # two tight, well-separated blobs; init = vectors of the 2 smallest
+    # ids, one per blob, so Lloyd's converges to the perfect split
+    rows = []
+    for i in range(10):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + 0.01 * i, base - 0.01 * i, base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=2, iters=3).collect()}
+    assert all(out[i] == 0 for i in range(0, 10, 2))
+    assert all(out[i] == 1 for i in range(1, 10, 2))
+
+
+def test_kmeans_single_iter_ties_break_low_and_validation(spark):
+    import pytest as _pytest
+
+    from yckg_spark.operators.similarity import kmeans_assign
+
+    # point 2 is equidistant from the two init centroids -> lowest cluster
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [2.0]), (2, [1.0])], ["vec_id", "embedding"]
+    )
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=2, iters=1).collect()}
+    assert out == {0: 0, 1: 1, 2: 0}
+    with _pytest.raises(ValueError):
+        kmeans_assign(df, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_assign(df, k=2, iters=0)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from yckg_spark.operators.similarity import kmeans_assign
+
+    # centroid 1 (vector [9]) attracts nothing after iteration 1 since
+    # every point is closer to centroid 0's mean; the loop must not drop
+    # it or crash, and assignments stay total
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [9.0]), (2, [0.1]), (3, [0.2]), (4, [4.4])],
+        ["vec_id", "embedding"],
+    )
+    out = kmeans_assign(df, k=2, iters=3).collect()
+    assert len(out) == 5
+    assert {r["cluster"] for r in out} <= {0, 1}

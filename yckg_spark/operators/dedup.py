@@ -553,3 +553,63 @@ def dedup_keep_representatives(
         .select(F.col("doc_id").alias(id_col))
     )
     return docs.join(dupes, id_col, "left_anti")
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for every pair of sources,
+    how many distinct (normalized-text) fingerprints they share and the
+    Jaccard overlap of their fingerprint sets — the audit table a corpus
+    curator reads before mixing crawls ("is source B just a re-crawl of
+    A?"). Emits ALL source pairs (source_a < source_b), zero-overlap
+    ones included, so the matrix shape is data-independent:
+    (source_a, source_b, n_a, n_b, n_common, jaccard).
+
+    Distributed shape: documents collapse to distinct (source, md5) —
+    one map-side-partial exchange on the 16-byte hash, text never
+    shuffled. The intersection self-join keys on the fingerprint, whose
+    uniformity makes skew impossible; per-source set sizes are a tiny
+    aggregate, and the all-pairs scaffold is a crossJoin of that
+    source-count-sized frame (hundreds of rows at web scale, broadcast
+    by AQE), never of documents.
+    """
+    fp = df.select(
+        F.col(group_col).alias("g"),
+        F.md5(normalize_text(F.col(text_col))).alias("h"),
+    ).distinct()
+    sizes = fp.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    sa = sizes.select(F.col("g").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("source_b"), F.col("n").alias("n_b"))
+    scaffold = sa.crossJoin(sb).filter(F.col("source_a") < F.col("source_b"))
+    n_common = F.coalesce(F.col("nc"), F.lit(0)).cast("long")
+    return (
+        scaffold.join(
+            inter,
+            (F.col("ga") == F.col("source_a")) & (F.col("gb") == F.col("source_b")),
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            n_common.alias("n_common"),
+            F.round(
+                n_common.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_common),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -516,3 +516,100 @@ def ivf_topk_stored(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's) over the embedding column
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from an array column to a Python centroid, as a
+    sequential left fold — ((0+t1)+t2)+... — so the summation order is
+    pinned and bit-reproducible across engines."""
+    lit_c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit_c, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column, returning the
+    final (id, cluster) assignment — the topic/diversity-balancing
+    clustering a training-data pipeline runs before per-cluster sampling
+    (and the same loop IVF training uses, here over the FULL corpus
+    instead of a driver sample).
+
+    Deterministic and replayable by construction: init centroids are the
+    k smallest ids' vectors (cluster = rank by id); each iteration
+    assigns every vector to its nearest centroid (squared L2 as a pinned
+    left fold; ties break to the lowest cluster via a struct min) and
+    recomputes centroids as per-cluster per-dimension means ROUNDED to
+    ``round_to`` decimals — the rounding re-synchronizes engines whose
+    parallel summation orders differ, so the whole loop replays bit-for-
+    bit in SQL. Empty clusters keep their previous centroid.
+
+    Distributed shape, per iteration: the assignment pass is a NARROW map
+    over k x dim broadcast-as-literal centroids (zero shuffle — the same
+    small-k plan the IVF assigner uses; above the literal ceiling swap in
+    its broadcast-numpy pandas_udf matmul, similarity.py:_top_cells_udf);
+    the recompute is ONE map-side-partial aggregate keyed on k clusters.
+    Driver state is exactly k x dim floats per round — the same
+    centroid-on-driver coordination every distributed Lloyd's
+    implementation (including Spark MLlib's) uses; the corpus itself
+    never leaves the executors.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    dim = len(df.select(vec_col).first()[0])
+    init = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        scored = F.array(
+            *[
+                F.struct(
+                    _sq_dist_to(F.col(vec_col), c).alias("dist"),
+                    F.lit(ci).alias("cluster"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_min(scored)["cluster"].alias("cluster"),
+        )
+
+    assigned = assign(centroids)
+    for _ in range(iters - 1):
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.round(F.avg(F.col(vec_col)[d].cast("double")), round_to).alias(f"c{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new_cents = list(centroids)  # empty clusters keep previous centroid
+        for r in rows:
+            new_cents[r["cluster"]] = [float(r[f"c{d}"]) for d in range(dim)]
+        centroids = new_cents
+        assigned = assign(centroids)
+    return assigned.select(id_col, "cluster")
