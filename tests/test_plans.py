@@ -469,3 +469,72 @@ def test_host_stats_single_host_exchange_no_url_after_agg(spark):
     assert "rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_pmi_pairs_broadcasts_vocab_and_never_shuffles_text(spark):
+    """The vocabulary prune must ride a BroadcastHashJoin; no exchange in
+    the whole plan may carry the raw text column — only (id, term)
+    slivers and the pair key shuffle."""
+    from yckg_spark.operators.text_analysis import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 5}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(pmi_pairs(docs))
+    assert "BroadcastHashJoin" in plan
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        assert "text" not in inp, block
+
+
+def test_quality_buckets_threshold_path_has_no_window_sort(spark):
+    """by='threshold' is the billion-doc-group escape hatch: the plan must
+    contain NO Window node (that is the rank path) — cut points come back
+    via a broadcast join on the tiny per-group aggregate."""
+    from yckg_spark.operators.selection import quality_buckets
+
+    docs = spark.createDataFrame(
+        [(i, f"some text w{i % 7}", f"s{i % 3}") for i in range(30)],
+        ["doc_id", "text", "source"],
+    )
+    rank_plan = _plan(quality_buckets(docs))
+    thr_plan = _plan(quality_buckets(docs, by="threshold"))
+    assert "Window" in rank_plan
+    assert "Window" not in thr_plan
+    assert "BroadcastHashJoin" in thr_plan
+
+
+def test_kmeans_assignment_pass_is_shuffle_free(spark):
+    """A single Lloyd's assignment pass (iters=1) is a narrow map over
+    literal centroids: zero Exchange nodes, no join, no window."""
+    from yckg_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 3)]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    plan = _plan(kmeans_assign(df, k=3, iters=1))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_source_overlap_exchanges_carry_hashes_not_text(spark):
+    """Documents collapse to (source, md5) before any join: no exchange may
+    carry the text column."""
+    from yckg_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [(i, f"body text number {i % 6}", f"s{i % 4}") for i in range(40)],
+        ["doc_id", "text", "source"],
+    )
+    plan = _plan(source_overlap(docs))
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        inp = next((ln for ln in lines if ln.startswith("Input")), "")
+        assert "text" not in inp, block
