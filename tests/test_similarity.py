@@ -343,3 +343,37 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     out = kmeans_assign(df, k=2, iters=3).collect()
     assert len(out) == 5
     assert {r["cluster"] for r in out} <= {0, 1}
+
+
+def test_kmeans_udf_path_matches_literal_path(spark):
+    from yckg_spark.operators.similarity import kmeans_assign
+
+    rows = [
+        (i, [float((i * 7) % 11), float((i * 3) % 5), float(i % 4)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    lit = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=5, iters=2).collect()}
+    # literal_k_max=0 forces every assignment through the broadcast-numpy
+    # pandas_udf; identical centroids sequence -> identical assignment
+    udf = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, k=5, iters=2, literal_k_max=0).collect()
+    }
+    assert lit == udf
+
+
+def test_kmeans_large_k_compiles_fast_and_is_total(spark):
+    import time
+
+    from yckg_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 13), float(i % 7)]) for i in range(300)],
+        ["vec_id", "embedding"],
+    )
+    t0 = time.time()
+    out = kmeans_assign(df, k=128, iters=2).collect()
+    assert time.time() - t0 < 60
+    assert len(out) == 300
+    assert all(0 <= r["cluster"] < 128 for r in out)

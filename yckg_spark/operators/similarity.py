@@ -535,6 +535,32 @@ def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+KMEANS_LITERAL_K_MAX = 64
+
+
+def _nearest_l2_udf(spark, centroids: list[list[float]]):
+    """pandas_udf: vec -> argmin-L2 cluster id (int), ties to the LOWEST
+    cluster — the same tie rule as the literal-path struct min. Distances
+    via the expansion ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 with the
+    row-constant ||x||^2 dropped: one BLAS matmul per Arrow batch against
+    a broadcast numpy codebook, plan size independent of k."""
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def nearest_fn(vs):
+        c = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    nearest_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return F.pandas_udf("int")(nearest_fn)
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,
@@ -542,6 +568,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    literal_k_max: int = KMEANS_LITERAL_K_MAX,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column, returning the
     final (id, cluster) assignment — the topic/diversity-balancing
@@ -559,10 +586,15 @@ def kmeans_assign(
     bit in SQL. Empty clusters keep their previous centroid.
 
     Distributed shape, per iteration: the assignment pass is a NARROW map
-    over k x dim broadcast-as-literal centroids (zero shuffle — the same
-    small-k plan the IVF assigner uses; above the literal ceiling swap in
-    its broadcast-numpy pandas_udf matmul, similarity.py:_top_cells_udf);
-    the recompute is ONE map-side-partial aggregate keyed on k clusters.
+    with zero shuffle — k <= ``literal_k_max``: a fold over k x dim
+    broadcast-as-literal centroids (whole-stage-codegen-friendly while
+    the plan stays small); larger k: an Arrow-batched pandas_udf argmin
+    against a broadcast numpy codebook (one BLAS matmul per batch, plan
+    size independent of k — the same escape hatch the IVF assigner
+    uses, so the K=10^3-10^4 cell counts a 100-TB corpus wants never
+    inflate the plan). Both paths break distance ties to the lowest
+    cluster; the recompute is ONE map-side-partial aggregate keyed on k
+    clusters.
     Driver state is exactly k x dim floats per round — the same
     centroid-on-driver coordination every distributed Lloyd's
     implementation (including Spark MLlib's) uses; the corpus itself
@@ -580,6 +612,13 @@ def kmeans_assign(
     centroids = [[float(x) for x in r[0]] for r in init]
 
     def assign(cents: list[list[float]]) -> DataFrame:
+        if len(cents) > literal_k_max:
+            nearest = _nearest_l2_udf(df.sparkSession, cents)
+            return df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                nearest(F.col(vec_col)).alias("cluster"),
+            )
         scored = F.array(
             *[
                 F.struct(
