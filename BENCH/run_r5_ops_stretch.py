@@ -186,6 +186,26 @@ def main() -> None:
     )
     out["pmi_pairs_rows"] = len(big_pmi)
 
+    # ---- inverted_index: per-term document frequency scales by exactly
+    # R under replication; truncation keeps every posting list <= cap
+    from yckg_spark.operators.text_analysis import inverted_index
+
+    base_ii = {
+        r["term"]: r["df_t"] for r in inverted_index(base_docs, max_postings=20).collect()
+    }
+    big_ii = timed(
+        samples,
+        "inverted_index",
+        lambda: inverted_index(big_docs, max_postings=20).collect(),
+        args.reps,
+    )
+    checks["inverted_index_df_scales_exactly"] = {
+        r["term"]: r["df_t"] for r in big_ii
+    } == {t: n * args.replicas for t, n in base_ii.items()} and all(
+        r["postings"].count(",") <= 19 for r in big_ii
+    )
+    out["inverted_index_terms"] = len(big_ii)
+
     # ---- quality_buckets: rank tiers exactly equal; threshold near n/3
     qb = timed(
         samples,
@@ -309,6 +329,7 @@ def main() -> None:
             "rows_per_s": {
                 "interval_join_events": round(n_events / mins["interval_join"]),
                 "pmi_docs": round(n_docs / mins["pmi_pairs"]),
+                "inverted_index_docs": round(n_docs / mins["inverted_index"]),
                 "quality_rank_docs": round(n_docs / mins["quality_buckets_rank"]),
                 "quality_threshold_docs": round(
                     n_docs / mins["quality_buckets_threshold"]

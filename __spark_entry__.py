@@ -2490,6 +2490,39 @@ FROM iv JOIN events p
 """
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted index with heavy-hitter-safe posting truncation (here
+    max_postings=20 so the truncation path is actually exercised at
+    sf0.01) — postings serialized "doc:tf,..." ordered by doc id."""
+    from yckg_spark.operators.text_analysis import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), max_postings=20)
+
+
+_ORACLE_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+d AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY tf DESC, doc_id ASC) AS rn
+  FROM tf
+),
+p AS (
+  SELECT term,
+         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+  FROM k WHERE rn <= 20 GROUP BY term
+)
+SELECT p.term, d.df_t, p.postings FROM p JOIN d USING (term)
+"""
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplicate-overlap matrix (all pairs, zero-overlap
     included) over normalized-text md5 fingerprint sets."""
@@ -2657,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "url_filter": q_url_filter,
         "pmi_pairs": q_pmi_pairs,
+        "inverted_index": q_inverted_index,
         "source_overlap": q_source_overlap,
         "kmeans": q_kmeans,
         "quality_buckets": q_quality_buckets,
@@ -2738,6 +2772,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_best": _ORACLE_DEDUP_BEST,
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         "pmi_pairs": _ORACLE_PMI_PAIRS,
+        "inverted_index": _ORACLE_INVERTED_INDEX,
         "source_overlap": _ORACLE_SOURCE_OVERLAP,
         "kmeans": _kmeans_oracle_sql(),
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,

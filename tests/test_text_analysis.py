@@ -264,3 +264,33 @@ def test_pmi_pairs_vocab_cap_is_deterministic(spark):
     # all pairs co-occur in all 3 docs of 3 total -> pmi = ln(3*3/(3*3)) = 0
     assert all(r["pmi"] == 0.0 and r["n_ab"] == 3 for r in out)
     assert len(out) == 6  # C(4,2)
+
+
+# -- inverted_index -----------------------------------------------------------
+
+
+def test_inverted_index_postings_and_truncation(spark):
+    from yckg_spark.operators.text_analysis import inverted_index
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "apple banana banana"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["term"]: (r["df_t"], r["postings"]) for r in inverted_index(df).collect()}
+    # postings ordered by doc id, tf counted per doc
+    assert out["apple"] == (3, "1:2,2:1,3:1")
+    assert out["banana"] == (2, "1:1,3:2")
+    assert out["cherry"] == (1, "2:1")
+    # truncation: keep the max_postings highest-tf docs (ties -> low id),
+    # df_t still reports the FULL document frequency
+    trunc = {
+        r["term"]: (r["df_t"], r["postings"])
+        for r in inverted_index(df, max_postings=1).collect()
+    }
+    assert trunc["apple"] == (3, "1:2")   # tf 2 beats the tf-1 docs
+    assert trunc["banana"] == (2, "3:2")  # doc 3 has tf 2
+    assert trunc["cherry"] == (1, "2:1")

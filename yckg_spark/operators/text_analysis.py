@@ -416,3 +416,48 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Inverted index over the corpus: one row per term with its document
+    frequency and a canonical posting string "doc:tf,doc:tf,..." ordered
+    by doc id — the retrieval-serving artifact a BM25/boolean layer loads
+    (the DataFrame shape of Lucene's term dictionary + postings).
+
+    Heavy-hitter safety at 100 TB: a stopword's posting list is
+    corpus-sized, so postings are truncated to the ``max_postings`` most
+    relevant entries (tf desc, doc asc — deterministic) BEFORE any
+    collect_list materializes, via a per-term window on the (id, term,
+    tf) sliver; ``df_t`` still reports the full pre-truncation document
+    frequency from its own map-side-partial count. The exchanges carry
+    only (id, term, tf) triples — never text — and the per-term list is
+    bounded by construction, so no single reducer can be blown up by a
+    hot term.
+    """
+    tf = (
+        _doc_terms(df, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col).asc())
+    kept = tf.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_postings
+    )
+    postings = kept.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("tf")))
+                ),
+                lambda x: F.concat_ws(":", x["d"], x["tf"]),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return postings.join(dfreq, "term").select("term", "df_t", "postings")
