@@ -2460,6 +2460,63 @@ FROM r
 """
 
 
+def q_ccnet_mix(spark, sf_dir):
+    """End-to-end CCNet curation composition: per-source quality tiers
+    (head/middle/tail ntile) feeding deterministic per-bucket Bernoulli
+    sampling (keep all of head, half of middle, 10% of tail) — BOTH
+    stages replayed in the oracle, like the LSH->verify compositions."""
+    from yckg_spark.operators.selection import quality_buckets, stratified_sample
+
+    tiers = quality_buckets(_t(spark, sf_dir, "documents"))
+    return stratified_sample(
+        tiers, {"head": 1.0, "middle": 0.5, "tail": 0.1}, strata_col="bucket"
+    )
+
+
+_ORACLE_CCNET_MIX = f"""
+WITH docs AS (
+  SELECT doc_id, source, text,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, t -> list_contains({_SW_EN}, t))) / greatest(len(toks), 1) AS sw_en,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+    ELSE 0 END AS punct_r,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)
+    ELSE 0 END AS digit_r
+  FROM docs
+),
+q AS (
+  SELECT doc_id, source,
+    round(least(n_tokens / 64.0, 1.0) * 0.4
+        + least(sw_en * 4, 1.0) * 0.3
+        + (1 - least(punct_r * 4, 1.0)) * 0.2
+        + (1 - least(digit_r * 4, 1.0)) * 0.1, 6) AS quality
+  FROM feats
+),
+r AS (
+  SELECT doc_id, source, quality,
+         ntile(3) OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS tile
+  FROM q
+),
+b AS (
+  SELECT doc_id, source, quality,
+         CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM r
+)
+SELECT doc_id, source, quality, bucket FROM b
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 8) <
+      CASE bucket WHEN 'head' THEN 'g'
+                  WHEN 'middle' THEN '80000000'
+                  WHEN 'tail' THEN '19999999' END
+"""
+
+
 def q_interval_join(spark, sf_dir):
     """Events landing inside per-user 30-minute post-purchase windows —
     the binned range join (equi-join on (user, epoch bin) + exact window
@@ -2694,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "kmeans": q_kmeans,
         "quality_buckets": q_quality_buckets,
+        "ccnet_mix": q_ccnet_mix,
         "interval_join": q_interval_join,
         "kg_build": q_kg_build,
     }
@@ -2776,6 +2834,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _ORACLE_SOURCE_OVERLAP,
         "kmeans": _kmeans_oracle_sql(),
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
+        "ccnet_mix": _ORACLE_CCNET_MIX,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "kg_build": _ORACLE_KG_BUILD,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
