@@ -2621,7 +2621,7 @@ def q_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
-def _kmeans_oracle_sql(k: int = 8, dim: int = 64) -> str:
+def _kmeans_oracle_sql(k: int = 8, dim: int = 64, cap: int | None = None) -> str:
     """Unrolled two-iteration Lloyd's in DuckDB SQL, mirroring
     kmeans_assign's arithmetic exactly: left-associated term sums (same
     order as Spark's sequential aggregate fold), round(avg, 6) centroid
@@ -2646,6 +2646,23 @@ def _kmeans_oracle_sql(k: int = 8, dim: int = 64) -> str:
         f"coalesce(m2.c{d}, i.c{d}) AS c{d}" for d in range(dim)
     )
     d_expr = dist("e.embedding", lambda d: f"c.c{d}")
+    assign2 = """SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, cluster ASC) AS rn
+  FROM a2d) WHERE rn = 1"""
+    if cap is None:
+        tail = assign2.replace(
+            "SELECT vec_id, cluster FROM (",
+            "SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (",
+            1,
+        )
+    else:
+        # keep at most `cap` vectors per cluster, lowest ids first
+        tail = f"""SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY vec_id ASC) AS crn
+  FROM ({assign2})) WHERE crn <= {cap}"""
     return f"""
 WITH init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, {init_cols}
@@ -2664,12 +2681,27 @@ c2 AS (SELECT i.cluster, {coalesce_cols}
        FROM init i LEFT JOIN m2 ON m2.cluster = i.cluster),
 a2d AS (SELECT e.vec_id, c.cluster, {d_expr} AS dist
         FROM embeddings e CROSS JOIN c2 c)
-SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
-  SELECT vec_id, cluster,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY dist ASC, cluster ASC) AS rn
-  FROM a2d) WHERE rn = 1
+{tail}
 """
+
+
+def q_cluster_balance(spark, sf_dir):
+    """Diversity-balanced selection composition: distributed k-means over
+    the embeddings, then keep at most 40 vectors per cluster (lowest ids
+    first — deterministic) — the cluster-then-cap recipe that keeps one
+    topic from dominating a training mix. Both stages replayed in the
+    oracle (the full two-iteration Lloyd's SQL plus the cap window)."""
+    from pyspark.sql import Window as W
+
+    from yckg_spark.operators.similarity import kmeans_assign
+
+    assigned = kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+    w = W.partitionBy("cluster").orderBy(F.col("vec_id").asc())
+    return (
+        assigned.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= 40)
+        .select("vec_id", "cluster")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2750,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "source_overlap": q_source_overlap,
         "kmeans": q_kmeans,
+        "cluster_balance": q_cluster_balance,
         "quality_buckets": q_quality_buckets,
         "ccnet_mix": q_ccnet_mix,
         "interval_join": q_interval_join,
@@ -2833,6 +2866,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _ORACLE_INVERTED_INDEX,
         "source_overlap": _ORACLE_SOURCE_OVERLAP,
         "kmeans": _kmeans_oracle_sql(),
+        "cluster_balance": _kmeans_oracle_sql(cap=40),
         "quality_buckets": _ORACLE_QUALITY_BUCKETS,
         "ccnet_mix": _ORACLE_CCNET_MIX,
         "interval_join": _ORACLE_INTERVAL_JOIN,
