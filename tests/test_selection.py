@@ -316,3 +316,12 @@ def test_quality_buckets_rejects_unknown_strategy(docs):
 
     with _pytest.raises(ValueError):
         quality_buckets(docs, by="nope")
+
+
+def test_quality_buckets_requires_two_labels(docs):
+    import pytest as _pytest
+
+    from yckg_spark.operators.selection import quality_buckets
+
+    with _pytest.raises(ValueError):
+        quality_buckets(docs, labels=("only",))

@@ -355,3 +355,16 @@ def test_interval_join_plan_is_equi_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_validates_and_survives_bin_name_collision(spark):
+    import pytest as _pytest
+
+    from yckg_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame([(1, _ts(5), "x")], ["pid", "ts", "_bin"])
+    intervals = spark.createDataFrame([(9, _ts(0), _ts(10))], ["iid", "start", "end"])
+    with _pytest.raises(ValueError):
+        interval_join(points, intervals, bin_width=0)
+    out = interval_join(points, intervals, bin_width=60).collect()
+    assert len(out) == 1 and out[0]["_bin"] == "x"  # user column untouched

@@ -375,6 +375,8 @@ def quality_buckets(
     """
     from yckg_spark.operators.text_analysis import quality_score
 
+    if len(labels) < 2:
+        raise ValueError("labels must name at least two tiers")
     n = len(labels)
     label_arr = F.array(*[F.lit(x) for x in labels])
     scored = quality_score(df, text_col).select(id_col, group_col, "quality")

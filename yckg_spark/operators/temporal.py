@@ -280,6 +280,8 @@ def interval_join(
     Skewed keys are ordinary AQE skew-join territory because the join
     key is (key, bin), which time itself spreads.
     """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be a positive number of seconds")
     ks = list(keys)
 
     def epoch(df: DataFrame, col_name: str) -> Column:
@@ -296,9 +298,14 @@ def interval_join(
         F.floor(epoch(intervals, start_col) / bin_width),
         F.floor(epoch(intervals, end_col) / bin_width),
     )
-    p = points.withColumn("_bin", p_bin)
-    iv = intervals.withColumn("_bin", F.explode(i_bins))
-    joined = p.join(iv, ks + ["_bin"]).filter(
+    # collision-safe scratch column: inputs may legitimately carry "_bin"
+    bin_col = "_bin"
+    taken = set(points.columns) | set(intervals.columns)
+    while bin_col in taken:
+        bin_col = "_" + bin_col
+    p = points.withColumn(bin_col, p_bin)
+    iv = intervals.withColumn(bin_col, F.explode(i_bins))
+    joined = p.join(iv, ks + [bin_col]).filter(
         (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
     )
-    return joined.drop("_bin")
+    return joined.drop(bin_col)
