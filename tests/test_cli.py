@@ -535,3 +535,34 @@ def test_cli_curate_span_filter_sees_pre_removal_text(spark, tmp_path, capsys):
     assert set(kept) == {3, 4}
     # doc 3's shared 6-token prefix was excised by the removal pass
     assert kept[3] == "unique tail words here now ok"
+
+
+def test_cli_stats_report_card(spark, tmp_path, capsys):
+    inp = str(tmp_path / "sdocs")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en", "sA"),
+            (2, "the  quick brown fox", "en", "sA"),  # normalizes dup of 1
+            (3, "ein kleiner text", "de", "sB"),
+            (4, "numbers 123 456", "en", "sB"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    ).write.mode("overwrite").parquet(inp)
+    assert main(["stats", "--input", inp]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == 4
+    assert rep["total_tokens"] == 4 + 4 + 3 + 3
+    assert rep["approx_unique_texts"] == 3  # exact at this cardinality
+    assert rep["langs"] == {"en": 3, "de": 1}
+    assert rep["top_sources"] == {"sA": 2, "sB": 2}
+    assert len(rep["quality_quartiles"]) == 3
+    assert rep["token_p50_p90_p99"][0] >= 3
+
+
+def test_cli_stats_without_lang_source_columns(spark, tmp_path, capsys):
+    inp = str(tmp_path / "plain")
+    _write_docs(spark, inp, [(1, "alpha beta"), (2, "gamma")])
+    assert main(["stats", "--input", inp]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == 2
+    assert "langs" not in rep and "top_sources" not in rep

@@ -610,6 +610,77 @@ def cmd_link(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Corpus report card: one JSON line summarizing a documents parquet —
+    counts, token/char volume, quality quartiles, exact-duplicate rate,
+    and the language / top-source mix. The input a curation run is sized
+    and budgeted from.
+
+    Scale shape: one enriched narrow projection (quality + token count +
+    md5 fingerprint — no shuffle), then ONE global aggregate job using
+    approx_count_distinct and percentile_approx (both bounded-memory
+    sketches — a 100-TB corpus must never buffer exact distributions on
+    one reducer), plus two tiny group-count jobs for the lang/source
+    mixes. Document text never shuffles anywhere."""
+    from pyspark.sql import functions as F
+
+    from yckg_spark.operators.dedup import normalize_text
+    from yckg_spark.operators.text_analysis import quality_score
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    id_col, text_col = args.id_col, args.text_col
+
+    enriched = quality_score(docs, text_col).select(
+        id_col,
+        "n_tokens",
+        "quality",
+        F.length(F.col(text_col)).alias("n_chars_stat"),
+        F.md5(normalize_text(F.col(text_col))).alias("fp"),
+        *([args.lang_col] if args.lang_col in docs.columns else []),
+        *([args.source_col] if args.source_col in docs.columns else []),
+    )
+    g = enriched.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars_stat").alias("total_chars"),
+        F.approx_count_distinct("fp").alias("approx_unique"),
+        F.percentile_approx("quality", [0.25, 0.5, 0.75], 10_000).alias("q_quartiles"),
+        F.percentile_approx("n_tokens", [0.5, 0.9, 0.99], 10_000).alias("tok_pcts"),
+    ).collect()[0]
+    out = {
+        "n_docs": g["n_docs"],
+        "total_tokens": g["total_tokens"],
+        "total_chars": g["total_chars"],
+        "approx_unique_texts": g["approx_unique"],
+        "approx_dup_rate": round(1 - g["approx_unique"] / max(g["n_docs"], 1), 4),
+        "quality_quartiles": [round(x, 6) for x in g["q_quartiles"]],
+        "token_p50_p90_p99": [int(x) for x in g["tok_pcts"]],
+        "seconds": round(time.time() - t0, 3),
+    }
+    if args.lang_col in docs.columns:
+        out["langs"] = {
+            r[args.lang_col]: r["n"]
+            for r in enriched.groupBy(args.lang_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col(args.lang_col))
+            .limit(50)
+            .collect()
+        }
+    if args.source_col in docs.columns:
+        out["top_sources"] = {
+            r[args.source_col]: r["n"]
+            for r in enriched.groupBy(args.source_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col(args.source_col))
+            .limit(args.top_sources)
+            .collect()
+        }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_discover_mappings(args) -> int:
     from pyspark.sql import functions as F
 
@@ -890,6 +961,15 @@ def make_parser() -> argparse.ArgumentParser:
                     help="output dir (triples/ + link_manifest.json)")
     lk.add_argument("--skip-extraction", action="store_true", help="trust the text column")
     lk.set_defaults(fn=cmd_link)
+
+    sc = sub.add_parser("stats", help="corpus report card (one JSON line)")
+    sc.add_argument("--input", required=True, help="documents parquet")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--lang-col", default="lang")
+    sc.add_argument("--source-col", default="source")
+    sc.add_argument("--top-sources", type=int, default=20)
+    sc.set_defaults(fn=cmd_stats)
 
     dm = sub.add_parser("discover-mappings", help="offline category->schema discovery")
     dm.add_argument("--categories", required=True, help="parquet with a category column")
