@@ -129,7 +129,15 @@ def cmd_query(args) -> int:
     from yckg_spark.operators.canonicalize import dedup_triples
     from yckg_spark.plans.queries import ALL_CQS, register
 
-    if args.cq not in ALL_CQS:
+    sparql = args.sparql
+    if args.sparql_file:
+        with open(args.sparql_file) as fh:
+            sparql = fh.read()
+    if sparql is None and args.cq is None:
+        print("error: pass --cq NAME, --sparql TEXT, or --sparql-file PATH",
+              file=sys.stderr)
+        return 2
+    if sparql is None and args.cq not in ALL_CQS:
         print(f"error: unknown CQ {args.cq!r}; valid: {', '.join(sorted(ALL_CQS))}",
               file=sys.stderr)
         return 2
@@ -143,9 +151,14 @@ def cmd_query(args) -> int:
         )
     )
     register(spark, triples)
-    df = ALL_CQS[args.cq](spark)
+    if sparql is not None:
+        from yckg_spark.plans.sparql import run_sparql
+
+        df = run_sparql(spark, sparql)
+    else:
+        df = ALL_CQS[args.cq](spark)
     rows = [r.asDict() for r in df.limit(args.limit).collect()]
-    out = {"cq": args.cq, "rows": rows}
+    out = {"cq": args.cq or "sparql", "rows": rows}
     if args.as_of_sequence is not None:
         out["as_of_sequence"] = args.as_of_sequence
     if args.as_of_timestamp_ms is not None:
@@ -826,9 +839,12 @@ def make_parser() -> argparse.ArgumentParser:
     s.add_argument("--seed", type=int, default=7)
     s.set_defaults(fn=cmd_synth)
 
-    q = sub.add_parser("query", help="run a competency question")
+    q = sub.add_parser("query", help="run a competency question or SPARQL text")
     q.add_argument("--input", required=True, help="built triple-store dir")
-    q.add_argument("--cq", required=True, help="cq1..cq16")
+    q.add_argument("--cq", default=None, help="cq1..cq16")
+    q.add_argument("--sparql", default=None,
+                   help="SPARQL BGP-subset query text (compiled to Spark SQL)")
+    q.add_argument("--sparql-file", default=None, help="file holding SPARQL text")
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--as-of-sequence", type=int, default=None,
                    help="time-travel: read the store as of this commit sequence")
