@@ -192,3 +192,13 @@ def test_literal_quotes_are_escaped():
     # generated SQL must escape it
     sql = compile_sparql("""SELECT ?s WHERE { ?s schema:name "O'Hare" . }""")
     assert "= 'O''Hare'" in sql
+
+
+def test_comments_are_ignored():
+    sql = compile_sparql(
+        """# leading comment
+SELECT ?s  # trailing comment
+WHERE { ?s schema:keywords ?c . # pattern comment
+}"""
+    )
+    assert "schema.org/keywords" in sql

@@ -81,6 +81,7 @@ _TOKEN_RE = re.compile(
   | (?P<OP><=|>=|!=|=|<|>)
   | (?P<PUNCT>[{}().;,*/])
   | (?P<WORD>[A-Za-z_]\w*)
+  | (?P<COMMENT>\#[^\n]*)
   | (?P<WS>\s+)
     """,
     re.VERBOSE,
@@ -95,7 +96,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             raise ValueError(f"SPARQL tokenize error at: {text[pos:pos + 30]!r}")
         pos = m.end()
         kind = m.lastgroup
-        if kind != "WS":
+        if kind not in ("WS", "COMMENT"):
             out.append((kind, m.group()))
     return out
 
