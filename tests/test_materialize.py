@@ -275,3 +275,34 @@ def test_vacuum_on_empty_store(spark, tmp_path):
 
     res = remove_orphans(spark, str(tmp_path / "nothing"))
     assert res == {"n_removed": 0, "removed": [], "committed_buckets": 0}
+
+
+def test_nt_roundtrip_with_hostile_literals(spark, tmp_path):
+    """export_nt_gz -> read_nt must be the identity on the triples shape,
+    including every escaped character class and typed/plain/IRI objects."""
+    from yckg_spark.materialize import export_nt_gz, read_nt
+
+    rows = [
+        ("http://ex/s1", "http://ex/p", "http://ex/o", False, None, None),
+        ("http://ex/s2", "http://ex/p", 'quote " and \\ backslash', True, None, None),
+        ("http://ex/s3", "http://ex/p", "line\nbreak\ttab\rret", True,
+         "http://www.w3.org/2001/XMLSchema#string", None),
+        ("http://ex/s4", "http://ex/p", "42", True,
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("http://ex/s5", "http://ex/p", "\\n not a newline", True, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object string, is_literal boolean,"
+        " datatype string, source_domain string",
+    )
+    path = str(tmp_path / "nt")
+    export_nt_gz(df, path)
+    back = read_nt(spark, path)
+    want = {tuple(r)[:5] for r in rows}
+    got = {
+        (r["subject"], r["predicate"], r["object"], r["is_literal"], r["datatype"])
+        for r in back.collect()
+    }
+    assert got == want
+    assert back.columns == df.columns  # full triples shape restored

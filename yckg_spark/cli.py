@@ -142,14 +142,19 @@ def cmd_query(args) -> int:
               file=sys.stderr)
         return 2
     spark = _spark(args)
-    triples = dedup_triples(
-        read_triples(
-            spark,
-            args.input,
-            as_of_sequence=args.as_of_sequence,
-            as_of_timestamp_ms=args.as_of_timestamp_ms,
+    if args.input_format == "nt":
+        from yckg_spark.materialize import read_nt
+
+        triples = dedup_triples(read_nt(spark, args.input))
+    else:
+        triples = dedup_triples(
+            read_triples(
+                spark,
+                args.input,
+                as_of_sequence=args.as_of_sequence,
+                as_of_timestamp_ms=args.as_of_timestamp_ms,
+            )
         )
-    )
     register(spark, triples)
     if sparql is not None:
         from yckg_spark.plans.sparql import run_sparql
@@ -840,7 +845,9 @@ def make_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_synth)
 
     q = sub.add_parser("query", help="run a competency question or SPARQL text")
-    q.add_argument("--input", required=True, help="built triple-store dir")
+    q.add_argument("--input", required=True, help="built triple-store dir or N-Triples dump")
+    q.add_argument("--input-format", choices=["store", "nt"], default="store",
+                   help="'nt' reads an N-Triples text/.gz dump (e.g. the reference's)")
     q.add_argument("--cq", default=None, help="cq1..cq16")
     q.add_argument("--sparql", default=None,
                    help="SPARQL BGP-subset query text (compiled to Spark SQL)")

@@ -327,3 +327,51 @@ def nt_line(triples: DataFrame) -> DataFrame:
 
 def export_nt_gz(triples: DataFrame, path: str) -> None:
     nt_line(triples).write.mode("overwrite").option("compression", "gzip").text(path)
+
+
+def read_nt(spark, path: str) -> DataFrame:
+    """Parse N-Triples text (plain or .gz — Spark's text source handles the
+    codec) back into the columnar triples shape: the inverse of
+    ``nt_line``, so a user can load the reference's published .nt dumps
+    (reference: create_yelp_nt_files.py writes one .nt.gz per domain) and
+    query them with the CQ plans or the SPARQL compiler directly.
+
+    Entirely narrow JVM-side column work — a regexp split of each line
+    plus an unescape chain — so ingest parallelism is just the text
+    source's splits (gzip is non-splittable per FILE; a multi-file dump
+    parallelizes per file, which is exactly how the reference shards its
+    corpus). Unescaping uses a NUL placeholder to invert the
+    backslash-first escape order safely; N-Triples forbids raw NUL in
+    the wire format, so the placeholder cannot collide. Comment (#) and
+    blank lines are dropped; ``source_domain`` is null (not on the wire).
+    """
+    lines = spark.read.text(path).filter(
+        (F.length(F.trim(F.col("value"))) > 0)
+        & ~F.trim(F.col("value")).startswith("#")
+    )
+    s = F.regexp_extract("value", r"^<([^>]*)> ", 1)
+    p = F.regexp_extract("value", r"^<[^>]*> <([^>]*)> ", 1)
+    rest = F.regexp_extract("value", r"^<[^>]*> <[^>]*> (.*) \.\s*$", 1)
+    parsed = lines.select(
+        s.alias("subject"), p.alias("predicate"), rest.alias("rest")
+    )
+    is_lit = F.col("rest").startswith('"')
+    iri_obj = F.regexp_extract("rest", r"^<([^>]*)>$", 1)
+    lit_raw = F.regexp_extract("rest", r'^"(.*)"(?:\^\^<[^>]*>)?$', 1)
+    datatype = F.nullif(
+        F.regexp_extract("rest", r'\^\^<([^>]*)>$', 1), F.lit("")
+    )
+    esc = lit_raw
+    # invert nt_line's escape order: protect \\ behind a placeholder first
+    esc = F.replace(esc, F.lit("\\\\"), F.lit("\x00"))
+    for raw, rep in [("\\n", "\n"), ("\\r", "\r"), ("\\t", "\t"), ('\\"', '"')]:
+        esc = F.replace(esc, F.lit(raw), F.lit(rep))
+    esc = F.replace(esc, F.lit("\x00"), F.lit("\\"))
+    return parsed.select(
+        "subject",
+        "predicate",
+        F.when(is_lit, esc).otherwise(iri_obj).alias("object"),
+        is_lit.alias("is_literal"),
+        F.when(is_lit, datatype).alias("datatype"),
+        F.lit(None).cast("string").alias("source_domain"),
+    )
