@@ -8,10 +8,9 @@ Known divergence, asserted explicitly: the reference's CQ7 SPARQL text
 contains ONLY the locatedInCity pattern (no review join), although its
 prose says "reviewed in Santa Barbara"; the compiler faithfully executes
 the text (all businesses in the city), while the hand plan implements the
-prose (only reviewed ones). CQ12's arithmetic-over-subqueries SELECT and
-CQ16's `haskaraoke 1` vs the store's 'true' lexical form are the only
-reference texts not runnable verbatim; CQ12 raises a clear error and the
-CQ16 test adapts the literal.
+prose (only reviewed ones). CQ16's `haskaraoke 1` vs the store's 'true'
+lexical form is the one literal adapted; every other CQ text runs
+verbatim.
 """
 
 import pytest
@@ -101,6 +100,17 @@ WHERE {
     GROUP BY ?user
     HAVING (COUNT(?friend) > 10)
 }""",
+    "cq12": """SELECT (xsd:double(?countFriends) / xsd:double(?countUser) AS ?averageFriends)
+WHERE {
+    {SELECT (COUNT(?user) AS ?countUser)
+    WHERE {
+        ?user rdf:type schema:Person .
+        }}
+    {SELECT (COUNT(?friend) AS ?countFriends)
+    WHERE {
+        ?user schema:knows ?friend .
+        }}
+}""",
     "cq13": """SELECT COUNT(DISTINCT(?user)) AS ?countUsers
 WHERE {
     SELECT ?user COUNT(?review) as ?numberOfReviews
@@ -179,9 +189,9 @@ def test_unsupported_constructs_raise():
     with pytest.raises(ValueError, match="unknown prefix"):
         compile_sparql("SELECT ?x WHERE { ?x nope:thing ?y . }")
     with pytest.raises(ValueError):
-        # CQ12's arithmetic select expression is outside the subset
+        # braced groups are sub-SELECT scaffolds only; UNION blocks reject
         compile_sparql(
-            "SELECT (xsd:double(?a) / xsd:double(?b) AS ?c) WHERE { ?x schema:knows ?y . }"
+            "SELECT ?x WHERE { { ?x schema:knows ?y . } UNION { ?x schema:name ?y . } }"
         )
     with pytest.raises(ValueError, match="unbound"):
         compile_sparql("SELECT ?missing WHERE { ?x schema:knows ?y . }")

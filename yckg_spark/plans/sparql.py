@@ -15,7 +15,9 @@ plans/external_queries.py):
     parenthesized ``(COUNT(?x) AS ?y)``, and trailing ``AS ?alias``;
   * WHERE groups of triple patterns over vars / prefixed names / <iri>s /
     ('typed') literals, plus FILTER(?v op const), BIND(year|month|day(?t)
-    AS ?v), and ONE nested sub-SELECT (the CQ11/CQ13 shape);
+    AS ?v), nested sub-SELECTs (the CQ11/CQ13 shape, and CQ12's two
+    scalar-subquery scaffolds cross-joined), and scalar arithmetic
+    select items ``(xsd:double(?a) / xsd:double(?b) AS ?c)``;
   * GROUP BY / HAVING(agg op n) / ORDER BY [DESC|ASC](expr) / LIMIT.
 
 Compilation strategy — the standard triple-store lowering: every triple
@@ -29,9 +31,9 @@ requires ``NOT is_literal`` at each of its OBJECT-position bindings
 hand-written CQ3/CQ7 plans encode). Numeric FILTER/aggregate contexts
 TRY_CAST the lexical object form, mirroring the hand-written plans.
 
-Not supported (raises ValueError): OPTIONAL, UNION, property paths,
-arithmetic select expressions, and multi-subselect groups — none of
-which the reference's query set uses.
+Not supported (raises ValueError): OPTIONAL, UNION, MINUS, GRAPH,
+property paths, and SERVICE — none of which the reference's Yelp query
+set uses.
 """
 
 from __future__ import annotations
@@ -110,13 +112,21 @@ class _Agg:
 
 
 @dataclass
+class _Arith:
+    op: str  # one of / * + -
+    left: tuple  # (cast_pname | None, var)
+    right: tuple
+    alias: str
+
+
+@dataclass
 class _Select:
-    items: list  # str var names and _Agg
+    items: list  # str var names, _Agg, and _Arith
     patterns: list = field(default_factory=list)  # (s, p, o) term tuples
     filters: list = field(default_factory=list)  # (var, op, const_token)
     binds: list = field(default_factory=list)  # (func, var, new_var)
     values: list = field(default_factory=list)  # (var, [const tokens])
-    sub: "_Select | None" = None
+    subs: list = field(default_factory=list)  # nested sub-SELECTs
     group_by: list = field(default_factory=list)
     having: tuple | None = None  # (_Agg, op, num)
     order_by: tuple | None = None  # (expr_item, "DESC"|"ASC")
@@ -175,7 +185,10 @@ class _Parser:
                 items.append(v[1:])
             elif v == "(":
                 self.next()
-                items.append(self._parse_agg_with_alias(expect_close=True))
+                if self.peek()[1].upper() in _AGGS:
+                    items.append(self._parse_agg_with_alias(expect_close=True))
+                else:
+                    items.append(self._parse_arith())
             elif v.upper() in _AGGS:
                 items.append(self._parse_agg_with_alias(expect_close=False))
             else:
@@ -223,6 +236,35 @@ class _Parser:
             self.expect(")")
         return agg
 
+    def _parse_arith(self) -> _Arith:
+        """( [xsd:fn(]?var[)] op [xsd:fn(]?var[)] AS ?alias ) — the CQ12
+        scalar-arithmetic shape; the opening paren is already consumed."""
+
+        def operand():
+            kind, v = self.next()
+            if kind == "PNAME":
+                self.expect("(")
+                k2, var = self.next()
+                if k2 != "VAR":
+                    raise ValueError(f"expected ?var inside {v}(...), got {var!r}")
+                self.expect(")")
+                return (v, var[1:])
+            if kind == "VAR":
+                return (None, v[1:])
+            raise ValueError(f"unsupported arithmetic operand {v!r}")
+
+        left = operand()
+        op = self.next()[1]
+        if op not in {"/", "*", "+", "-"}:
+            raise ValueError(f"unsupported arithmetic operator {op!r}")
+        right = operand()
+        self.expect("AS")
+        kind, v = self.next()
+        if kind != "VAR":
+            raise ValueError(f"alias must be a ?var, got {v!r}")
+        self.expect(")")
+        return _Arith(op=op, left=left, right=right, alias=v[1:])
+
     def _parse_term(self):
         kind, v = self.next()
         if kind == "VAR":
@@ -249,14 +291,10 @@ class _Parser:
                 return
             if v == "{":  # braced sub-select
                 self.next()
-                if sel.sub is not None:
-                    raise ValueError("only one sub-SELECT per group is supported")
-                sel.sub = self.parse_select()
+                sel.subs.append(self.parse_select())
                 self.expect("}")
             elif v.upper() == "SELECT":  # bare sub-select (the CQ11 shape)
-                if sel.sub is not None:
-                    raise ValueError("only one sub-SELECT per group is supported")
-                sel.sub = self.parse_select()
+                sel.subs.append(self.parse_select())
             elif v.upper() == "FILTER":
                 self.next()
                 self.expect("(")
@@ -409,12 +447,12 @@ class _Compiler:
         const_conds: list[str] = []
         nonlit_vars: set[str] = set()
 
-        if sel.sub is not None:
+        for sub in sel.subs:
             alias = f"s{self.n_sub}"
             self.n_sub += 1
-            sub_sql = self.compile(sel.sub)
+            sub_sql = self.compile(sub)
             tables.append((alias, f"({sub_sql}) {alias}"))
-            for name in _out_names(sel.sub):
+            for name in _out_names(sub):
                 bindings.setdefault(name, []).append(f"{alias}.`{name}`")
 
         for idx, (s, p, o) in enumerate(sel.patterns):
@@ -496,10 +534,24 @@ class _Compiler:
                 from_sql += f" CROSS JOIN {ftext}"
         where.extend(remaining)
 
+        def cast_operand(operand):
+            fn, var = operand
+            if var not in exprs:
+                raise ValueError(f"arithmetic references unbound ?{var}")
+            e = exprs[var]
+            if fn in ("xsd:integer", "xsd:long"):
+                return f"CAST({e} AS BIGINT)"
+            return f"CAST({e} AS DOUBLE)"
+
         select_items, group_exprs = [], []
         for item in sel.items:
             if isinstance(item, _Agg):
                 select_items.append(self._agg_sql(item, exprs, alias=True))
+            elif isinstance(item, _Arith):
+                select_items.append(
+                    f"{cast_operand(item.left)} {item.op} "
+                    f"{cast_operand(item.right)} AS `{item.alias}`"
+                )
             else:
                 if item not in exprs:
                     raise ValueError(f"SELECT references unbound ?{item}")
@@ -561,6 +613,8 @@ def _out_names(sel: _Select) -> list[str]:
     for item in sel.items:
         if isinstance(item, _Agg):
             out.append(item.alias or _default_alias(item))
+        elif isinstance(item, _Arith):
+            out.append(item.alias)
         else:
             out.append(item)
     return out
