@@ -2704,6 +2704,39 @@ def q_cluster_balance(spark, sf_dir):
     )
 
 
+_SPARQL_CAT_COUNTS = """
+SELECT ?cat COUNT(DISTINCT ?b) AS ?n
+WHERE {
+    ?b schema:keywords ?cat .
+    ?b rdf:type schema:LocalBusiness .
+}
+GROUP BY ?cat
+"""
+
+
+def q_sparql_cat_counts(spark, sf_dir):
+    """The SPARQL compiler under the driver gate: build the KG (the same
+    pipeline as kg_build), register it, and run a two-pattern grouped
+    SPARQL aggregate through plans/sparql.py; the oracle re-derives the
+    triple set in SQL (the kg_build CTE) and replays the lowered query."""
+    from yckg_spark.plans.sparql import run_sparql
+
+    q_kg_build(spark, sf_dir).createOrReplaceTempView("kgb_triples")
+    return run_sparql(spark, _SPARQL_CAT_COUNTS, view="kgb_triples")
+
+
+def _sparql_cat_counts_oracle() -> str:
+    return f"""
+WITH t AS ({_ORACLE_KG_BUILD})
+SELECT t0.object AS cat, CAST(COUNT(DISTINCT t0.subject) AS BIGINT) AS n
+FROM t t0 JOIN t t1 ON t0.subject = t1.subject
+WHERE t0.predicate = 'https://schema.org/keywords'
+  AND t1.predicate = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+  AND t1.object = 'https://schema.org/LocalBusiness'
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_customer": q_kg_triples_customer,
@@ -2787,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_mix": q_ccnet_mix,
         "interval_join": q_interval_join,
         "kg_build": q_kg_build,
+        "sparql_cat_counts": q_sparql_cat_counts,
     }
 
 
@@ -2871,6 +2905,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_mix": _ORACLE_CCNET_MIX,
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "kg_build": _ORACLE_KG_BUILD,
+        "sparql_cat_counts": _sparql_cat_counts_oracle(),
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
     }
