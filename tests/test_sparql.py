@@ -212,3 +212,21 @@ WHERE { ?s schema:keywords ?c . # pattern comment
 }"""
     )
     assert "schema.org/keywords" in sql
+
+
+def test_compiled_sparql_pushes_predicates_to_parquet(spark, tmp_path, registered):
+    """At 100 TB the triples live in parquet: the compiled plan's constant
+    positions must reach the scan as PushedFilters (predicate/object
+    equality per pattern alias), not post-scan filters only."""
+    path = str(tmp_path / "triples_pq")
+    spark.table("triples").write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("pq_triples")
+    df = run_sparql(spark, CQ_TEXTS["cq2"], view="pq_triples")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    import re as _re
+
+    pushed = " ".join(_re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(predicate," in pushed and "EqualTo(object," in pushed
