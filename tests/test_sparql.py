@@ -230,3 +230,12 @@ def test_compiled_sparql_pushes_predicates_to_parquet(spark, tmp_path, registere
 
     pushed = " ".join(_re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "EqualTo(predicate," in pushed and "EqualTo(object," in pushed
+
+
+def test_select_distinct_dedups_rows(spark, registered):
+    base = """SELECT ?c WHERE { ?b schema:keywords ?c . }"""
+    dis = """SELECT DISTINCT ?c WHERE { ?b schema:keywords ?c . }"""
+    all_rows = [r["c"] for r in run_sparql(spark, base).collect()]
+    uniq_rows = [r["c"] for r in run_sparql(spark, dis).collect()]
+    assert sorted(set(all_rows)) == sorted(uniq_rows)
+    assert len(all_rows) > len(uniq_rows)  # keywords repeat across businesses

@@ -122,6 +122,7 @@ class _Arith:
 @dataclass
 class _Select:
     items: list  # str var names, _Agg, and _Arith
+    distinct: bool = False  # SELECT DISTINCT ?x ...
     patterns: list = field(default_factory=list)  # (s, p, o) term tuples
     filters: list = field(default_factory=list)  # (var, op, const_token)
     binds: list = field(default_factory=list)  # (func, var, new_var)
@@ -177,6 +178,10 @@ class _Parser:
 
     def parse_select(self) -> _Select:
         self.expect("SELECT")
+        distinct = False
+        if self.word_is("DISTINCT"):
+            self.next()
+            distinct = True
         items = []
         while not self.word_is("WHERE"):
             kind, v = self.peek()
@@ -194,7 +199,7 @@ class _Parser:
             else:
                 raise ValueError(f"unsupported SELECT item at {v!r}")
         self.expect("WHERE")
-        sel = _Select(items=items)
+        sel = _Select(items=items, distinct=distinct)
         self._parse_group(sel)
         self._parse_modifiers(sel)
         return sel
@@ -561,7 +566,8 @@ class _Compiler:
                 raise ValueError(f"GROUP BY references unbound ?{g}")
             group_exprs.append(exprs[g])
 
-        sql = "SELECT " + ", ".join(select_items) + " FROM " + from_sql
+        head = "SELECT DISTINCT " if sel.distinct else "SELECT "
+        sql = head + ", ".join(select_items) + " FROM " + from_sql
         if where:
             sql += " WHERE " + " AND ".join(where)
         if group_exprs:
